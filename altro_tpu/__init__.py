@@ -1,0 +1,30 @@
+"""altro_tpu: TPU-native constrained trajectory optimization.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of the ALTRO
+("Augmented Lagrangian TRajectory Optimizer") C++ reference solver:
+augmented-Lagrangian iLQR with a TVLQR Riccati backward pass, closed-loop
+forward rollout with a strong-Wolfe cubic line search on an analytically
+differentiated merit function, and conic constraint handling
+(equality / inequality / second-order cone) via projected-dual
+augmented-Lagrangian penalties.
+
+Design is TPU-first:
+  * struct-of-arrays pytrees over the knot-point axis (vmap, not loops)
+  * `lax.scan` Riccati recursion and rollouts (parallel-scan variant in
+    `altro_tpu.tvlqr`)
+  * bounded `lax.while_loop` line search / solver loop with per-lane status
+  * whole solves are pure jittable functions of a solver-state pytree, so
+    thousands of MPC scenarios batch with `vmap` and shard over a device
+    mesh with `shard_map`.
+"""
+
+from altro_tpu.cones import (
+    Cone,
+    cone_is_linear,
+    dual_cone,
+    project,
+    project_hessian,
+    project_jacobian,
+)
+
+__version__ = "0.1.0"
