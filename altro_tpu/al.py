@@ -1,0 +1,146 @@
+"""Augmented-Lagrangian machinery: projected duals, AL cost / gradient /
+Gauss-Newton Hessian, constraint violations.
+
+TPU-native redesign of the per-knot AL computations in
+/root/reference/src/altro/solver/knotpoint_data.cpp:473-613. Every
+function here operates on a single knot point and vmaps over the knot
+axis (and over batch lanes); inactive knots are masked with `jnp.where`
+instead of the reference's per-knot constraint lists.
+
+The AL formulation (projected-dual / conic):
+    z_est  = z - rho * c(x, u)              (estimated dual)
+    z_proj = P_{K*}(z_est)                  (projection into dual cone)
+    AL cost    += ||z_proj||^2 / (2 rho)
+    AL grad    -= J_c^T  dP^T z_proj
+    AL hess    += rho (dP J_c)^T (dP J_c)
+                + rho J_c^T (d2P . z_proj) J_c     (nonlinear cones only)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from altro_tpu import cones
+from altro_tpu.problem import Problem
+
+__all__ = [
+    "constraint_values",
+    "projected_duals",
+    "al_cost",
+    "al_grad",
+    "al_hess",
+    "knot_violation",
+]
+
+
+def _terminal_u(problem: Problem):
+    return jnp.zeros((problem.m,), dtype=problem.x0.dtype)
+
+
+def constraint_values(problem: Problem, k, x, u) -> Tuple[jnp.ndarray, ...]:
+    """c_j(x, u) for each constraint group. Parity: knotpoint_data.cpp:473-479."""
+    return tuple(spec.fn(x, u, k) for spec in problem.constraints)
+
+
+def projected_duals(problem: Problem, convals, z, rho):
+    """(z_est, z_proj) per group. Parity: knotpoint_data.cpp:523-535."""
+    z_est, z_proj = [], []
+    for spec, c_j, z_j in zip(problem.constraints, convals, z):
+        dual = cones.dual_cone(spec.cone)
+        ze = z_j - rho * c_j
+        z_est.append(ze)
+        z_proj.append(cones.project(dual, ze))
+    return tuple(z_est), tuple(z_proj)
+
+
+def al_cost(problem: Problem, k, x, u, z, rho, terminal: bool):
+    """Original cost + sum_j ||z_proj_j||^2/(2 rho) at one knot.
+
+    Returns (cost, convals, z_proj). Parity: knotpoint_data.cpp:421-428,
+    572-581.
+    """
+    if terminal:
+        cost = problem.cost.term_value(x)
+        u = _terminal_u(problem)
+    else:
+        cost = problem.cost.stage_value(k, x, u)
+    convals = constraint_values(problem, k, x, u)
+    _, z_proj = projected_duals(problem, convals, z, rho)
+    for spec, zp in zip(problem.constraints, z_proj):
+        active = spec.active[k]
+        cost = cost + jnp.where(active, jnp.sum(zp * zp) / (2.0 * rho), 0.0)
+    return cost, convals, z_proj
+
+
+def al_grad(problem: Problem, k, x, u, z, rho, terminal: bool):
+    """AL cost gradient (lx, lu) at one knot.
+
+    Parity: knotpoint_data.cpp:430-437, 537-547, 583-595. lu is zeros at
+    the terminal knot.
+    """
+    n = problem.n
+    if terminal:
+        u = _terminal_u(problem)
+        lx = problem.cost.term_grad(x)
+        lu = jnp.zeros((problem.m,), dtype=x.dtype)
+    else:
+        lx, lu = problem.cost.stage_grad(k, x, u)
+    convals = constraint_values(problem, k, x, u)
+    z_est, z_proj = projected_duals(problem, convals, z, rho)
+    for spec, ze, zp in zip(problem.constraints, z_est, z_proj):
+        dual = cones.dual_cone(spec.cone)
+        Jc = spec.jacobian(x, u, k)  # [p, n+m]
+        Pj = cones.project_jacobian(dual, ze)  # [p, p]
+        jvp = Pj.T @ zp
+        active = spec.active[k]
+        lx = lx - jnp.where(active, Jc[:, :n].T @ jvp, 0.0)
+        if not terminal:
+            lu = lu - jnp.where(active, Jc[:, n:].T @ jvp, 0.0)
+    return lx, lu
+
+
+def al_hess(problem: Problem, k, x, u, z, rho, terminal: bool):
+    """Gauss-Newton AL Hessian (lxx, luu, lux) at one knot.
+
+    Parity: knotpoint_data.cpp:439-448, 549-570, 597-613.
+    """
+    n, m = problem.n, problem.m
+    dtype = x.dtype
+    if terminal:
+        u = _terminal_u(problem)
+        lxx = problem.cost.term_hess(x)
+        luu = jnp.zeros((m, m), dtype)
+        lux = jnp.zeros((m, n), dtype)
+    else:
+        lxx, luu, lux = problem.cost.stage_hess(k, x, u)
+    convals = constraint_values(problem, k, x, u)
+    z_est, z_proj = projected_duals(problem, convals, z, rho)
+    for spec, ze, zp in zip(problem.constraints, z_est, z_proj):
+        dual = cones.dual_cone(spec.cone)
+        Jc = spec.jacobian(x, u, k)
+        Pj = cones.project_jacobian(dual, ze)
+        Jt = Pj @ Jc  # [p, n+m]
+        Hc = rho * (Jt.T @ Jt)
+        if not cones.cone_is_linear(dual):
+            Hp = cones.project_hessian(dual, ze, zp)  # [p, p]
+            Hc = Hc + rho * (Jc.T @ (Hp @ Jc))
+        active = spec.active[k]
+        lxx = lxx + jnp.where(active, Hc[:n, :n], 0.0)
+        if not terminal:
+            luu = luu + jnp.where(active, Hc[n:, n:], 0.0)
+            lux = lux + jnp.where(active, Hc[n:, :n], 0.0)
+    return lxx, luu, lux
+
+
+def knot_violation(problem: Problem, k, convals):
+    """max_j ||P_K(c_j) - c_j||_inf at one knot (0 if nothing active).
+
+    Parity: knotpoint_data.cpp:489-501.
+    """
+    viol = jnp.asarray(0.0, dtype=problem.x0.dtype)
+    for spec, c_j in zip(problem.constraints, convals):
+        v = cones.project(spec.cone, c_j) - c_j
+        viol = jnp.maximum(viol, jnp.where(spec.active[k], jnp.max(jnp.abs(v)), 0.0))
+    return viol

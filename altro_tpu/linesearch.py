@@ -1,0 +1,497 @@
+"""Strong-Wolfe cubic line search as a bounded `lax.while_loop`.
+
+TPU-native redesign of the reference line-search module
+(/root/reference/src/linesearch/linesearch.cpp:37-412 and
+cubicspline.c:18-246). The reference's data-dependent control flow
+(bracketing loop, zoom loop, one-shot cubic interpolation, simple
+backtracking fallback) becomes a single `lax.while_loop` state machine in
+which every iteration performs exactly one merit evaluation; the mode
+switch is traced with `lax.switch`, so whole solves stay jittable and
+batchable (under vmap the loop masks per-lane until all lanes finish).
+
+The bracketing/zoom logic, tolerances, and iteration accounting replicate
+the reference exactly — the end-to-end iteration-count oracles
+(double integrator 3/5/9, pendulum <= 10) depend on it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from altro_tpu.status import LineSearchCode
+
+__all__ = ["LineSearchOptions", "LineSearchResult", "wolfe_line_search", "cubic_fit", "cubic_argmin"]
+
+_TOL = 1e-6  # cubicspline.c LINESEARCH_TOL
+
+
+# ---------------------------------------------------------------------------
+# Cubic interpolation (branchless port of the intent of cubicspline.c)
+# ---------------------------------------------------------------------------
+
+
+def cubic_fit(x1, y1, d1, x2, y2, d2):
+    """Fit y = a + b t + c t^2 + d t^3, t = x - x1, from 2 points + slopes.
+
+    Returns ((x0, a, b, c, d), valid). Parity: cubicspline.c:18-42.
+    """
+    delta = x2 - x1
+    same = jnp.abs(delta) < _TOL
+    ds = jnp.where(same, 1.0, delta)
+    a = y1
+    b = d1
+    c = 3.0 * (y2 - y1) / (ds * ds) - (d2 + 2.0 * d1) / ds
+    d = (d2 + d1) / (ds * ds) - 2.0 * (y2 - y1) / (ds * ds * ds)
+    return (x1, a, b, c, d), jnp.logical_not(same)
+
+
+def cubic_argmin(spline):
+    """Closed-form argmin with curvature classification.
+
+    Returns (x_min, found) where found=False covers all the reference's
+    failure codes (constant/linear/positive-quadratic/saddle/no-minimum,
+    cubicspline.c:111-181) — the line search treats them identically.
+    """
+    x0, a, b, c, d = spline
+    is_quadratic = jnp.abs(d) < _TOL
+    is_linear = jnp.logical_and(is_quadratic, jnp.abs(c) < _TOL)
+
+    # Quadratic path
+    c_safe = jnp.where(jnp.abs(c) < _TOL, 1.0, c)
+    quad_min = -b / (2.0 * c_safe) + x0
+    quad_found = jnp.logical_and(is_quadratic, jnp.logical_and(jnp.logical_not(is_linear), c > 0))
+
+    # Cubic path: roots of 3d t^2 + 2c t + b = 0
+    qa, qb, qc = 3.0 * d, 2.0 * c, b
+    qa_safe = jnp.where(jnp.abs(qa) < _TOL, 1.0, qa)
+    s2 = qb * qb - 4.0 * qa * qc
+    s2_zero = jnp.abs(s2) < _TOL
+    s = jnp.where(s2_zero, 0.0, jnp.sqrt(jnp.maximum(s2, 0.0)))
+    roots_ok = jnp.logical_or(s2_zero, s2 >= 0.0)
+    t1 = (-qb + s) / (2.0 * qa_safe)
+    t2 = (-qb - s) / (2.0 * qa_safe)
+    curv1 = 2.0 * c + 6.0 * d * t1
+    curv2 = 2.0 * c + 6.0 * d * t2
+    pick1 = jnp.logical_and(curv1 > 0, curv2 < 0)
+    pick2 = jnp.logical_and(curv1 < 0, curv2 > 0)
+    cubic_min = jnp.where(pick1, t1, t2) + x0
+    cubic_found = jnp.logical_and(
+        jnp.logical_not(is_quadratic),
+        jnp.logical_and(roots_ok, jnp.logical_or(pick1, pick2)),
+    )
+
+    found = jnp.logical_or(quad_found, cubic_found)
+    x_min = jnp.where(is_quadratic, quad_min, cubic_min)
+    return x_min, found
+
+
+# ---------------------------------------------------------------------------
+# Line search
+# ---------------------------------------------------------------------------
+
+
+class LineSearchOptions(NamedTuple):
+    c1: float = 1e-4
+    c2: float = 0.9
+    max_iters: int = 25
+    alpha_max: float = 2.0
+    beta_increase: float = 1.5
+    beta_decrease: float = 0.5
+    min_interval_size: float = 1e-6
+    try_cubic_first: bool = True
+    use_backtracking: bool = False
+
+
+class LineSearchResult(NamedTuple):
+    alpha: jnp.ndarray
+    phi: jnp.ndarray
+    dphi: jnp.ndarray
+    code: jnp.ndarray  # int32 LineSearchCode
+    n_iters: jnp.ndarray  # merit evaluations performed
+
+
+# modes
+_BRACKET, _CUBIC, _ZOOM, _BACKTRACK, _DONE = range(5)
+
+
+class _State(NamedTuple):
+    mode: jnp.ndarray
+    alpha_next: jnp.ndarray  # trial step evaluated at loop top
+    small_window: jnp.ndarray  # zoom: this trial is the tiny-window midpoint
+    n_iters: jnp.ndarray
+    iter: jnp.ndarray  # bracket-loop counter
+    zoom_iter: jnp.ndarray
+    btr_iter: jnp.ndarray
+    # last bracket evaluation (restored after a failed cubic try)
+    alpha: jnp.ndarray
+    phi: jnp.ndarray
+    dphi: jnp.ndarray
+    fnd: jnp.ndarray  # function_not_decreasing at that evaluation
+    # previous bracket point
+    alpha_prev: jnp.ndarray
+    phi_prev: jnp.ndarray
+    dphi_prev: jnp.ndarray
+    # zoom window
+    alo: jnp.ndarray
+    ahi: jnp.ndarray
+    phi_lo: jnp.ndarray
+    phi_hi: jnp.ndarray
+    dphi_lo: jnp.ndarray
+    dphi_hi: jnp.ndarray
+    hit_max_alpha: jnp.ndarray
+    # result
+    code: jnp.ndarray
+    res_alpha: jnp.ndarray
+    res_phi: jnp.ndarray
+    res_dphi: jnp.ndarray
+
+
+def wolfe_line_search(
+    merit_full: Callable,
+    merit_value: Callable,
+    phi0,
+    dphi0,
+    alpha0=1.0,
+    opts: LineSearchOptions = LineSearchOptions(),
+) -> LineSearchResult:
+    """Run the line search on merit function phi(alpha).
+
+    merit_full(alpha) -> (phi, dphi); merit_value(alpha) -> phi (used by
+    the backtracking fallback, which needs no derivative —
+    linesearch.cpp:385-412).
+    """
+    dtype = jnp.asarray(phi0).dtype
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.result_type(float)
+    phi0 = jnp.asarray(phi0, dtype)
+    dphi0 = jnp.asarray(dphi0, dtype)
+    alpha0 = jnp.asarray(alpha0, dtype)
+    c1 = jnp.asarray(opts.c1, dtype)
+    c2 = jnp.asarray(opts.c2, dtype)
+    z = jnp.asarray(0.0, dtype)
+    i0 = jnp.asarray(0, jnp.int32)
+
+    def mk_state(**kw):
+        base = dict(
+            mode=jnp.asarray(_BRACKET, jnp.int32),
+            alpha_next=alpha0,
+            small_window=jnp.asarray(False),
+            n_iters=i0,
+            iter=i0,
+            zoom_iter=i0,
+            btr_iter=i0,
+            alpha=alpha0,
+            phi=phi0,
+            dphi=dphi0,
+            fnd=jnp.asarray(False),
+            alpha_prev=z,
+            phi_prev=phi0,
+            dphi_prev=dphi0,
+            alo=z,
+            ahi=z,
+            phi_lo=phi0,
+            phi_hi=phi0,
+            dphi_lo=dphi0,
+            dphi_hi=dphi0,
+            hit_max_alpha=jnp.asarray(False),
+            code=jnp.asarray(int(LineSearchCode.NO_ERROR), jnp.int32),
+            res_alpha=z,
+            res_phi=phi0,
+            res_dphi=dphi0,
+        )
+        base.update(kw)
+        return _State(**base)
+
+    def done(s, code, alpha, phi, dphi):
+        return s._replace(
+            mode=jnp.asarray(_DONE, jnp.int32),
+            code=jnp.asarray(int(code), jnp.int32) if isinstance(code, LineSearchCode) else code,
+            res_alpha=alpha,
+            res_phi=phi,
+            res_dphi=dphi,
+        )
+
+    def armijo(alpha, phi):
+        return phi <= phi0 + c1 * alpha * dphi0
+
+    def wolfe(dphi):
+        return jnp.abs(dphi) <= -c2 * dphi0
+
+    def enter_zoom(s, alo, phi_lo, dphi_lo, ahi, phi_hi, dphi_hi):
+        """Transition into the zoom stage. Parity: linesearch.cpp:233-303."""
+        nonfinite = jnp.logical_not(
+            jnp.logical_and(jnp.isfinite(alo), jnp.isfinite(ahi))
+        )
+        zoom_iter = s.n_iters + 1
+        over = zoom_iter >= opts.max_iters
+        trial, small = _zoom_trial(alo, phi_lo, dphi_lo, ahi, phi_hi, dphi_hi)
+        s = s._replace(
+            mode=jnp.asarray(_ZOOM, jnp.int32),
+            alo=alo,
+            ahi=ahi,
+            phi_lo=phi_lo,
+            phi_hi=phi_hi,
+            dphi_lo=dphi_lo,
+            dphi_hi=dphi_hi,
+            zoom_iter=zoom_iter,
+            alpha_next=trial,
+            small_window=small,
+        )
+        s = jax.lax.cond(
+            over,
+            lambda s: done(s, LineSearchCode.MAX_ITERATIONS, alo, phi_lo, dphi_lo),
+            lambda s: s,
+            s,
+        )
+        return jax.lax.cond(
+            nonfinite,
+            lambda s: done(s, LineSearchCode.GOT_NONFINITE_STEP_SIZE, z, s.phi, s.dphi),
+            lambda s: s,
+            s,
+        )
+
+    def _zoom_trial(alo, phi_lo, dphi_lo, ahi, phi_hi, dphi_hi):
+        """Next zoom trial: cubic argmin, else midpoint; tiny window -> midpoint."""
+        small = jnp.abs(alo - ahi) < opts.min_interval_size
+        spline, fit_ok = cubic_fit(alo, phi_lo, dphi_lo, ahi, phi_hi, dphi_hi)
+        amin, found = cubic_argmin(spline)
+        use_cubic = jnp.logical_and(fit_ok, jnp.logical_and(found, jnp.isfinite(amin)))
+        mid = 0.5 * (alo + ahi)
+        trial = jnp.where(small, mid, jnp.where(use_cubic, amin, mid))
+        return trial, small
+
+    def post_check(s, alpha, phi, dphi, fnd):
+        """Bracket-stage logic after the Wolfe test fails.
+
+        Parity: linesearch.cpp:137-213 (backtracking fallback, the two
+        zoom entries, interval expansion with alpha_max handling).
+        """
+
+        def to_backtrack(s):
+            return s._replace(
+                mode=jnp.asarray(_BACKTRACK, jnp.int32),
+                alpha_next=alpha0 * opts.beta_decrease,
+                btr_iter=jnp.asarray(1, jnp.int32),
+            )
+
+        def zoom_a(s):  # alo = previous point, ahi = current
+            return enter_zoom(s, s.alpha_prev, s.phi_prev, s.dphi_prev, alpha, phi, dphi)
+
+        def zoom_c(s):  # "bowl": alo = current, ahi = previous
+            return enter_zoom(s, alpha, phi, dphi, s.alpha_prev, s.phi_prev, s.dphi_prev)
+
+        def expand(s):
+            new_alpha = alpha * opts.beta_increase
+            over = new_alpha > opts.alpha_max
+            new_alpha = jnp.minimum(new_alpha, opts.alpha_max)
+            stop = jnp.logical_and(over, s.hit_max_alpha)
+            s = s._replace(
+                alpha_prev=alpha,
+                phi_prev=phi,
+                dphi_prev=dphi,
+                alpha_next=new_alpha,
+                hit_max_alpha=jnp.logical_or(s.hit_max_alpha, over),
+                iter=s.iter + 1,
+            )
+            s = jax.lax.cond(
+                stop,
+                lambda s: done(s, LineSearchCode.HIT_MAX_STEPSIZE, new_alpha, phi, dphi),
+                lambda s: s,
+                s,
+            )
+            # Bracket loop exhausted -> return current alpha, code NO_ERROR
+            return jax.lax.cond(
+                s.iter >= opts.max_iters,
+                lambda s: done(s, s.code, new_alpha, phi, dphi),
+                lambda s: s,
+                s,
+            )
+
+        suff = armijo(alpha, phi)
+        zoom_case_a = jnp.logical_or(
+            jnp.logical_not(suff), jnp.logical_and(s.iter > 0, fnd)
+        )
+        zoom_case_c = dphi >= 0
+
+        if opts.use_backtracking:
+            return to_backtrack(s)
+        branch = jnp.where(zoom_case_a, 0, jnp.where(zoom_case_c, 1, 2))
+        return jax.lax.switch(branch, [zoom_a, zoom_c, expand], s)
+
+    # ----------------------------------------------------------------- modes
+
+    def bracket_step(s, phi_t, dphi_t):
+        alpha = s.alpha_next
+        s = s._replace(n_iters=s.n_iters + 1)
+        suff = armijo(alpha, phi_t)
+        fnd = phi_t >= s.phi_prev
+        ok = jnp.logical_and(suff, wolfe(dphi_t))
+
+        def on_ok(s):
+            return done(s, LineSearchCode.MINIMUM_FOUND, alpha, phi_t, dphi_t)
+
+        def on_fail(s):
+            # One-shot cubic interpolation on the first interval
+            spline, fit_ok = cubic_fit(z, phi0, dphi0, alpha, phi_t, dphi_t)
+            amin, found = cubic_argmin(spline)
+            try_cubic = jnp.logical_and(
+                jnp.asarray(opts.try_cubic_first and True),
+                jnp.logical_and(
+                    s.iter == 0,
+                    jnp.logical_and(fit_ok, jnp.logical_and(found, jnp.isfinite(amin))),
+                ),
+            )
+
+            def to_cubic(s):
+                return s._replace(
+                    mode=jnp.asarray(_CUBIC, jnp.int32),
+                    alpha_next=amin,
+                    iter=s.iter + 1,
+                    alpha=alpha,
+                    phi=phi_t,
+                    dphi=dphi_t,
+                    fnd=fnd,
+                )
+
+            return jax.lax.cond(
+                try_cubic,
+                to_cubic,
+                lambda s: post_check(s, alpha, phi_t, dphi_t, fnd),
+                s,
+            )
+
+        return jax.lax.cond(ok, on_ok, on_fail, s._replace(alpha=alpha, phi=phi_t, dphi=dphi_t, fnd=fnd))
+
+    def cubic_step(s, phi_t, dphi_t):
+        alpha_c = s.alpha_next
+        s = s._replace(n_iters=s.n_iters + 1)
+        ok = jnp.logical_and(armijo(alpha_c, phi_t), wolfe(dphi_t))
+        return jax.lax.cond(
+            ok,
+            lambda s: done(s, LineSearchCode.MINIMUM_FOUND, alpha_c, phi_t, dphi_t),
+            # Discard the cubic trial; continue with the saved first trial.
+            lambda s: post_check(s, s.alpha, s.phi, s.dphi, s.fnd),
+            s,
+        )
+
+    def zoom_step(s, phi_t, dphi_t):
+        alpha = s.alpha_next
+        s = s._replace(n_iters=s.n_iters + 1)
+        suff = armijo(alpha, phi_t)
+        curv = wolfe(dphi_t)
+
+        def on_small(s):
+            code = jnp.where(
+                jnp.logical_and(suff, curv),
+                int(LineSearchCode.MINIMUM_FOUND),
+                int(LineSearchCode.WINDOW_TOO_SMALL),
+            ).astype(jnp.int32)
+            return done(s, code, alpha, phi_t, dphi_t)
+
+        def on_normal(s):
+            def on_ok(s):
+                return done(s, LineSearchCode.MINIMUM_FOUND, alpha, phi_t, dphi_t)
+
+            def on_update(s):
+                higher = phi_t > s.phi_lo
+                shrink_hi = jnp.logical_or(jnp.logical_not(suff), higher)
+
+                def adj_hi(s):
+                    return s._replace(ahi=alpha, phi_hi=phi_t, dphi_hi=dphi_t)
+
+                def adj_lo(s):
+                    reset_ahi = dphi_t * (s.ahi - s.alo) <= 0
+                    ahi = jnp.where(reset_ahi, s.alo, s.ahi)
+                    phi_hi = jnp.where(reset_ahi, s.phi_lo, s.phi_hi)
+                    dphi_hi = jnp.where(reset_ahi, s.dphi_lo, s.dphi_hi)
+                    return s._replace(
+                        ahi=ahi,
+                        phi_hi=phi_hi,
+                        dphi_hi=dphi_hi,
+                        alo=alpha,
+                        phi_lo=phi_t,
+                        dphi_lo=dphi_t,
+                    )
+
+                s = jax.lax.cond(shrink_hi, adj_hi, adj_lo, s)
+                s = s._replace(zoom_iter=s.zoom_iter + 1)
+                trial, small = _zoom_trial(
+                    s.alo, s.phi_lo, s.dphi_lo, s.ahi, s.phi_hi, s.dphi_hi
+                )
+                s = s._replace(alpha_next=trial, small_window=small)
+                return jax.lax.cond(
+                    s.zoom_iter >= opts.max_iters,
+                    lambda s: done(s, LineSearchCode.MAX_ITERATIONS, alpha, phi_t, dphi_t),
+                    lambda s: s,
+                    s,
+                )
+
+            return jax.lax.cond(jnp.logical_and(suff, curv), on_ok, on_update, s)
+
+        return jax.lax.cond(s.small_window, on_small, on_normal, s)
+
+    def backtrack_step(s, phi_t, dphi_t):
+        alpha = s.alpha_next
+        s = s._replace(n_iters=s.n_iters + 1)
+        suff = armijo(alpha, phi_t)
+
+        def on_ok(s):
+            return done(s, LineSearchCode.MINIMUM_FOUND, alpha, phi_t, dphi_t)
+
+        def on_shrink(s):
+            new_alpha = alpha * opts.beta_decrease
+            s = s._replace(alpha_next=new_alpha, btr_iter=s.btr_iter + 1)
+            return jax.lax.cond(
+                s.btr_iter >= opts.max_iters,
+                lambda s: done(s, s.code, new_alpha, phi_t, s.res_dphi),
+                lambda s: s,
+                s,
+            )
+
+        return jax.lax.cond(suff, on_ok, on_shrink, s)
+
+    # ------------------------------------------------------------------ loop
+
+    def cond(s):
+        return s.mode != _DONE
+
+    def body(s):
+        # One merit evaluation per loop iteration; the backtracking stage
+        # skips the derivative (linesearch.cpp:395 passes nullptr).
+        def eval_full(alpha):
+            phi_t, dphi_t = merit_full(alpha)
+            return jnp.asarray(phi_t, dtype), jnp.asarray(dphi_t, dtype)
+
+        def eval_value(alpha):
+            return jnp.asarray(merit_value(alpha), dtype), z
+
+        phi_t, dphi_t = jax.lax.cond(
+            s.mode == _BACKTRACK, eval_value, eval_full, s.alpha_next
+        )
+        return jax.lax.switch(
+            s.mode,
+            [bracket_step, cubic_step, zoom_step, backtrack_step],
+            s,
+            phi_t,
+            dphi_t,
+        )
+
+    init = mk_state()
+    # Not a descent direction: return alpha = 0 (linesearch.cpp:49-52)
+    init = jax.lax.cond(
+        dphi0 >= 0,
+        lambda s: done(s, LineSearchCode.NOT_DESCENT_DIRECTION, z, phi0, dphi0),
+        lambda s: s,
+        init,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return LineSearchResult(
+        alpha=final.res_alpha,
+        phi=final.res_phi,
+        dphi=final.res_dphi,
+        code=final.code,
+        n_iters=final.n_iters,
+    )

@@ -1,0 +1,68 @@
+"""Solver options.
+
+Frozen dataclass mirroring the reference `AltroOptions`
+(/root/reference/src/altro/solver/solver_options.hpp:16-39), extended with
+the knobs the TPU redesign needs (adaptive Quu regularization schedule —
+the reference's unused `reg` hook at solver.cpp:363 made real — and the
+parallel-scan Riccati switch).
+
+All fields are Python scalars treated as jit-time constants: re-jitting on
+an options change is intended (options define the program, state defines
+the data).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Verbosity(enum.IntEnum):
+    SILENT = 0
+    OUTER = 1
+    INNER = 2
+    LINE_SEARCH = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    # Outer/inner fused loop (reference defaults, solver_options.hpp:16-39)
+    iterations_max: int = 200
+    tol_cost: float = 1e-4
+    tol_cost_intermediate: float = 1e-4
+    tol_primal_feasibility: float = 1e-4
+    tol_stationarity: float = 1e-4
+    tol_meritfun_gradient: float = 1e-8
+    max_solve_time: float = float("inf")
+
+    # Augmented Lagrangian penalty schedule
+    penalty_initial: float = 1.0
+    penalty_scaling: float = 10.0
+    penalty_max: float = 1e8
+
+    # Line search (reference linesearch.hpp:40-47, 55-56)
+    use_backtracking_linesearch: bool = False
+    ls_max_iters: int = 25
+    ls_alpha_max: float = 2.0
+    ls_beta_increase: float = 1.5
+    ls_beta_decrease: float = 0.5
+    ls_min_interval_size: float = 1e-6
+    ls_try_cubic_first: bool = True
+    ls_c1: float = 1e-4  # Armijo sufficient-decrease
+    ls_c2: float = 0.9  # strong-Wolfe curvature
+
+    # Adaptive Quu regularization (new: reference hardwires reg = 0 and
+    # aborts the whole solve on Cholesky failure, solver.cpp:363,373-377)
+    reg_initial: float = 0.0
+    reg_min: float = 1e-8
+    reg_scaling: float = 10.0
+    reg_max_retries: int = 8
+
+    # TPU execution strategy
+    parallel_riccati: bool = False  # lax.associative_scan backward pass
+    throw_errors: bool = True  # host API raises on failed solve
+
+    verbose: Verbosity = Verbosity.SILENT
+
+    def replace(self, **kw) -> "SolverOptions":
+        return dataclasses.replace(self, **kw)

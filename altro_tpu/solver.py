@@ -1,0 +1,596 @@
+"""Fused AL-iLQR solve: the TPU-native solver core.
+
+Redesign of the reference solver engine
+(/root/reference/src/altro/solver/solver.cpp:116-511). Structure map:
+
+  reference (serial C++ loops, mutable per-knot workspaces)
+    -> here (pure jittable functions over a SolverState pytree):
+
+  * per-knot Calc* loops (solver.cpp:166-201)   -> vmap over the knot axis
+  * OpenLoopRollout / MeritFunction rollouts    -> lax.scan carrying
+    (x, dx/dalpha, phi, dphi) — the analytic forward-sensitivity merit
+    derivative of solver.cpp:273-355, not autodiff through the scan
+  * BackwardPass (tvlqr.cpp:65-195)             -> lax.scan Riccati with an
+    adaptive Quu regularization retry (the reference's unused `reg` hook)
+  * fused outer/inner iteration loop with adaptive dual/penalty triggers
+    (solver.cpp:447-502)                        -> bounded lax.while_loop
+  * whole-solve abort on failure                -> per-lane int status
+
+`solve` is a pure function (problem, state, options) -> (state', stats):
+warm starting an MPC resolve is just calling it again with the carried
+state, and batching scenarios is `vmap` over (problem.x0 / cost refs /
+state).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from altro_tpu import al
+from altro_tpu import cones
+from altro_tpu.linesearch import LineSearchOptions, wolfe_line_search
+from altro_tpu.options import SolverOptions, Verbosity
+from altro_tpu.problem import Problem
+from altro_tpu.status import LineSearchCode, SolveStatus
+from altro_tpu.tvlqr import TVLQRGains, tvlqr_backward
+
+__all__ = ["SolverState", "SolveStats", "init_state", "solve", "open_loop_rollout", "total_cost"]
+
+
+def _register(cls, data_fields, meta_fields=()):
+    jax.tree_util.register_dataclass(cls, data_fields=list(data_fields), meta_fields=list(meta_fields))
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverState:
+    """Everything that persists across (warm-started) solves.
+
+    Mirrors the reference's KnotPointData persistent slots: trajectory
+    (x, u), TVLQR duals y, constraint duals z, penalty rho, gains
+    K/d and cost-to-go P/p (knotpoint_data.hpp:160-233) — but stacked
+    over the knot axis as one pytree the caller can carry/donate.
+    """
+
+    x: jnp.ndarray  # [N+1, n]
+    u: jnp.ndarray  # [N, m]
+    y: jnp.ndarray  # [N+1, n]
+    z: Tuple[jnp.ndarray, ...]  # per-group [N+1, p]
+    rho: jnp.ndarray  # scalar penalty
+    K: jnp.ndarray  # [N, m, n]
+    d: jnp.ndarray  # [N, m]
+    P: jnp.ndarray  # [N+1, n, n]
+    p: jnp.ndarray  # [N+1, n]
+    reg: jnp.ndarray  # scalar Quu regularization in effect
+
+
+_register(SolverState, ["x", "u", "y", "z", "rho", "K", "d", "P", "p", "reg"])
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveStats:
+    """Fully-populated solve statistics (the reference leaves most of its
+    AltroStats stale, solver_stats.hpp:14-25 / SURVEY §2.1)."""
+
+    status: jnp.ndarray  # int32 SolveStatus
+    iterations: jnp.ndarray  # int32
+    objective_value: jnp.ndarray  # original cost (no AL terms)
+    merit_value: jnp.ndarray  # phi at last accepted point
+    stationarity: jnp.ndarray
+    primal_feasibility: jnp.ndarray
+    complementarity: jnp.ndarray
+    rho: jnp.ndarray
+    alpha: jnp.ndarray  # last line-search step
+    ls_iterations: jnp.ndarray  # int32, last line search
+    dphi: jnp.ndarray
+
+
+_register(
+    SolveStats,
+    [
+        "status",
+        "iterations",
+        "objective_value",
+        "merit_value",
+        "stationarity",
+        "primal_feasibility",
+        "complementarity",
+        "rho",
+        "alpha",
+        "ls_iterations",
+        "dphi",
+    ],
+)
+
+
+def init_state(problem: Problem) -> SolverState:
+    N, n, m = problem.N, problem.n, problem.m
+    dt = problem.x0.dtype
+    return SolverState(
+        x=jnp.tile(problem.x0, (N + 1, 1)),
+        u=jnp.zeros((N, m), dt),
+        y=jnp.zeros((N + 1, n), dt),
+        z=problem.init_duals(),
+        rho=jnp.asarray(1.0, dt),
+        K=jnp.zeros((N, m, n), dt),
+        d=jnp.zeros((N, m), dt),
+        P=jnp.zeros((N + 1, n, n), dt),
+        p=jnp.zeros((N + 1, n), dt),
+        reg=jnp.asarray(0.0, dt),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollouts and merit function
+# ---------------------------------------------------------------------------
+
+
+def open_loop_rollout(problem: Problem, u: jnp.ndarray, x0: Optional[jnp.ndarray] = None):
+    """x_{k+1} = f(x_k, u_k) from x0. Parity: solver.cpp:116-131."""
+    x0 = problem.x0 if x0 is None else x0
+
+    def step(x_k, inp):
+        k, u_k = inp
+        x_next = problem.dyn_step(k, x_k, u_k)
+        return x_next, x_k
+
+    ks = jnp.arange(problem.N, dtype=jnp.int32)
+    x_N, x_stack = jax.lax.scan(step, x0, (ks, u))
+    return jnp.concatenate([x_stack, x_N[None]], axis=0)
+
+
+class MeritOut(NamedTuple):
+    phi: jnp.ndarray
+    dphi: jnp.ndarray
+    x: jnp.ndarray  # [N+1, n] candidate trajectory
+    u: jnp.ndarray  # [N, m]
+    y: jnp.ndarray  # [N+1, n] TVLQR dual estimates
+    A: jnp.ndarray  # [N, n, n] dynamics expansion at candidate
+    B: jnp.ndarray  # [N, n, m]
+    lx: jnp.ndarray  # [N+1, n] AL cost gradients at candidate
+    lu: jnp.ndarray  # [N, m]
+    convals: Tuple[jnp.ndarray, ...]  # per-group [N+1, p]
+    zproj: Tuple[jnp.ndarray, ...]  # per-group [N+1, p]
+
+
+def merit_function(
+    problem: Problem,
+    ref_x,
+    ref_u,
+    K,
+    d,
+    P,
+    p,
+    z,
+    rho,
+    alpha,
+    x0,
+    with_derivative: bool,
+) -> MeritOut:
+    """Closed-loop rollout + AL cost + analytic dphi/dalpha.
+
+    Parity: solver.cpp:273-355. The rollout tracks the policy
+      u = u_ref - K (x - x_ref) + alpha d,
+    the dual estimate y = P (x - x_ref) + p, and (when requested) the
+    exact directional derivative via the forward sensitivity recurrence
+      du/da = -K dx/da + d;  dx/da' = A dx/da + B du/da;
+      dphi += lx . dx/da + lu . du/da.
+    """
+    N, n, m = problem.N, problem.n, problem.m
+    dtype = x0.dtype
+    alpha = jnp.asarray(alpha, dtype)
+    ks = jnp.arange(N, dtype=jnp.int32)
+    z_stage = tuple(zj[:N] for zj in z)
+    z_term = tuple(zj[N] for zj in z)
+
+    def step(carry, inp):
+        x_k, dx_da, phi, dphi = carry
+        k, xr, ur, K_k, d_k, P_k, p_k, z_k = inp
+        dx = x_k - xr
+        du = -(K_k @ dx) + alpha * d_k
+        u_k = ur + du
+        y_k = P_k @ dx + p_k
+        x_next = problem.dyn_step(k, x_k, u_k)
+        cost_k, convals_k, zproj_k = al.al_cost(problem, k, x_k, u_k, z_k, rho, terminal=False)
+        phi = phi + cost_k
+        if with_derivative:
+            A_k, B_k = problem.dyn_expansion(k, x_k, u_k)
+            du_da = -(K_k @ dx_da) + d_k
+            dx_da_next = A_k @ dx_da + B_k @ du_da
+            lx_k, lu_k = al.al_grad(problem, k, x_k, u_k, z_k, rho, terminal=False)
+            dphi = dphi + jnp.dot(lx_k, dx_da) + jnp.dot(lu_k, du_da)
+        else:
+            A_k = jnp.zeros((n, n), dtype)
+            B_k = jnp.zeros((n, m), dtype)
+            dx_da_next = dx_da
+            lx_k = jnp.zeros((n,), dtype)
+            lu_k = jnp.zeros((m,), dtype)
+        out = (x_k, u_k, y_k, A_k, B_k, lx_k, lu_k, convals_k, zproj_k)
+        return (x_next, dx_da_next, phi, dphi), out
+
+    init = (x0, jnp.zeros((n,), dtype), jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
+    xs = (ks, ref_x[:N], ref_u, K, d, P[:N], p[:N], z_stage)
+    (x_N, dx_da_N, phi, dphi), outs = jax.lax.scan(step, init, xs)
+    (x_st, u, y_st, A, B, lx_st, lu, convals_st, zproj_st) = outs
+
+    # Terminal knot point (solver.cpp:318-332)
+    cost_N, convals_N, zproj_N = al.al_cost(problem, N, x_N, None, z_term, rho, terminal=True)
+    phi = phi + cost_N
+    y_N = P[N] @ (x_N - ref_x[N]) + p[N]
+    if with_derivative:
+        lx_N, _ = al.al_grad(problem, N, x_N, None, z_term, rho, terminal=True)
+        dphi = dphi + jnp.dot(lx_N, dx_da_N)
+    else:
+        lx_N = jnp.zeros((n,), dtype)
+
+    x = jnp.concatenate([x_st, x_N[None]], axis=0)
+    y = jnp.concatenate([y_st, y_N[None]], axis=0)
+    lx = jnp.concatenate([lx_st, lx_N[None]], axis=0)
+    convals = tuple(
+        jnp.concatenate([cs, cN[None]], axis=0) for cs, cN in zip(convals_st, convals_N)
+    )
+    zproj = tuple(
+        jnp.concatenate([zs, zN[None]], axis=0) for zs, zN in zip(zproj_st, zproj_N)
+    )
+    return MeritOut(phi, dphi, x, u, y, A, B, lx, lu, convals, zproj)
+
+
+# ---------------------------------------------------------------------------
+# Expansions / optimality criteria
+# ---------------------------------------------------------------------------
+
+
+def al_expansions(problem: Problem, x, u, z, rho):
+    """Per-knot AL cost expansion + dynamics expansion at a trajectory.
+
+    Parity: CalcExpansions / CalcCostGradient / CalcDynamicsExpansion
+    (solver.cpp:176-201) — vmapped over the knot axis.
+    Returns (A, B, lx, lu, lxx, luu, lux).
+    """
+    N = problem.N
+    ks = jnp.arange(N, dtype=jnp.int32)
+    z_stage = tuple(zj[:N] for zj in z)
+    z_term = tuple(zj[N] for zj in z)
+
+    def stage(k, x_k, u_k, z_k):
+        lx, lu = al.al_grad(problem, k, x_k, u_k, z_k, rho, terminal=False)
+        lxx, luu, lux = al.al_hess(problem, k, x_k, u_k, z_k, rho, terminal=False)
+        A_k, B_k = problem.dyn_expansion(k, x_k, u_k)
+        return A_k, B_k, lx, lu, lxx, luu, lux
+
+    A, B, lx_st, lu, lxx_st, luu, lux = jax.vmap(stage)(ks, x[:N], u, z_stage)
+    lx_N, _ = al.al_grad(problem, N, x[N], None, z_term, rho, terminal=True)
+    lxx_N, _, _ = al.al_hess(problem, N, x[N], None, z_term, rho, terminal=True)
+    lx = jnp.concatenate([lx_st, lx_N[None]], axis=0)
+    lxx = jnp.concatenate([lxx_st, lxx_N[None]], axis=0)
+    return A, B, lx, lu, lxx, luu, lux
+
+
+def stationarity(A, B, lx, lu, y):
+    """max-norm KKT stationarity residual. Parity: solver.cpp:207-222."""
+    N = A.shape[0]
+    res_x = lx[:N] + jnp.einsum("kij,ki->kj", A, y[1:]) - y[:N]
+    res_u = lu + jnp.einsum("kij,ki->kj", B, y[1:])
+    res_term = lx[N] - y[N]
+    return jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(res_x)), jnp.max(jnp.abs(res_u))),
+        jnp.max(jnp.abs(res_term)),
+    )
+
+
+def feasibility(problem: Problem, convals):
+    """max over knots/groups of ||P_K(c) - c||_inf. Parity: solver.cpp:224-231."""
+    viol = jnp.asarray(0.0, problem.x0.dtype)
+    for spec, c_j in zip(problem.constraints, convals):
+        v = jax.vmap(lambda cc: cones.project(spec.cone, cc))(c_j) - c_j
+        masked = jnp.where(spec.active[:, None], jnp.abs(v), 0.0)
+        viol = jnp.maximum(viol, jnp.max(masked) if masked.size else 0.0)
+    return viol
+
+
+def complementarity(problem: Problem, convals, z):
+    comp = jnp.asarray(0.0, problem.x0.dtype)
+    for spec, c_j, z_j in zip(problem.constraints, convals, z):
+        masked = jnp.where(spec.active[:, None], jnp.abs(c_j * z_j), 0.0)
+        comp = jnp.maximum(comp, jnp.max(masked) if masked.size else 0.0)
+    return comp
+
+
+def total_cost(problem: Problem, x, u):
+    """Original objective (no AL terms) along a trajectory."""
+    ks = jnp.arange(problem.N, dtype=jnp.int32)
+    stage = jax.vmap(lambda k, xk, uk: problem.cost.stage_value(k, xk, uk))(ks, x[: problem.N], u)
+    return jnp.sum(stage) + problem.cost.term_value(x[problem.N])
+
+
+def al_total_cost(problem: Problem, x, u, z, rho):
+    """Objective + AL penalty terms (reference CalcCost, solver.cpp:163-174)."""
+    ks = jnp.arange(problem.N, dtype=jnp.int32)
+    z_stage = tuple(zj[: problem.N] for zj in z)
+    z_term = tuple(zj[problem.N] for zj in z)
+    stage = jax.vmap(
+        lambda k, xk, uk, zk: al.al_cost(problem, k, xk, uk, zk, rho, terminal=False)[0]
+    )(ks, x[: problem.N], u, z_stage)
+    term = al.al_cost(problem, problem.N, x[problem.N], None, z_term, rho, terminal=True)[0]
+    return jnp.sum(stage) + term
+
+
+# ---------------------------------------------------------------------------
+# Backward pass with adaptive regularization
+# ---------------------------------------------------------------------------
+
+
+def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
+    """Riccati backward pass; on Cholesky failure bump reg and retry.
+
+    The reference hardwires reg = 0 and aborts the solve on failure
+    (solver.cpp:363, 373-377); here a failed factorization bumps the
+    regularization geometrically up to `reg_max_retries` times so a lane
+    recovers instead of dying.
+    """
+    f_zero = jnp.zeros_like(lx[: A.shape[0]])
+
+    def attempt(reg):
+        return tvlqr_backward(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
+
+    gains0 = attempt(reg0)
+
+    def cond(c):
+        g, reg, tries = c
+        return jnp.logical_and(jnp.logical_not(g.ok), tries < opts.reg_max_retries)
+
+    def body(c):
+        g, reg, tries = c
+        new_reg = jnp.where(reg <= 0, opts.reg_min, reg * opts.reg_scaling)
+        return attempt(new_reg), new_reg, tries + 1
+
+    gains, reg_used, _ = jax.lax.while_loop(
+        cond, body, (gains0, reg0, jnp.asarray(0, jnp.int32))
+    )
+    return gains, reg_used
+
+
+# ---------------------------------------------------------------------------
+# Solve
+# ---------------------------------------------------------------------------
+
+
+class _Carry(NamedTuple):
+    x: jnp.ndarray
+    u: jnp.ndarray
+    y: jnp.ndarray
+    z: Tuple[jnp.ndarray, ...]
+    rho: jnp.ndarray
+    K: jnp.ndarray
+    d: jnp.ndarray
+    P: jnp.ndarray
+    p: jnp.ndarray
+    reg: jnp.ndarray
+    convals: Tuple[jnp.ndarray, ...]
+    iter: jnp.ndarray
+    status: jnp.ndarray
+    stop: jnp.ndarray
+    phi: jnp.ndarray
+    dphi: jnp.ndarray
+    alpha: jnp.ndarray
+    stat: jnp.ndarray
+    feas: jnp.ndarray
+    ls_iters: jnp.ndarray
+
+
+def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOptions()):
+    """Run the fused AL-iLQR loop. Returns (SolverState, SolveStats).
+
+    Parity with SolverImpl::Solve (solver.cpp:414-511):
+      1. open-loop rollout from problem.x0 with the carried inputs
+         (this is also the warm-start path for MPC resolves)
+      2. iterate: expansions -> Riccati backward pass -> merit(0) ->
+         line search -> accept candidate -> stationarity/feasibility ->
+         adaptive dual & penalty updates when near-stationary
+      3. per-lane status instead of exceptions.
+    """
+    N = problem.N
+    dtype = problem.x0.dtype
+    ls_opts = LineSearchOptions(
+        c1=opts.ls_c1,
+        c2=opts.ls_c2,
+        max_iters=opts.ls_max_iters,
+        alpha_max=opts.ls_alpha_max,
+        beta_increase=opts.ls_beta_increase,
+        beta_decrease=opts.ls_beta_decrease,
+        min_interval_size=opts.ls_min_interval_size,
+        try_cubic_first=opts.ls_try_cubic_first,
+        use_backtracking=opts.use_backtracking_linesearch,
+    )
+
+    # Prologue (solver.cpp:418-434): reset penalty, rollout, make reference
+    rho0 = jnp.asarray(opts.penalty_initial, dtype)
+    x_init = open_loop_rollout(problem, state.u)
+    convals0 = _trajectory_convals(problem, x_init, state.u)
+
+    init = _Carry(
+        x=x_init,
+        u=state.u,
+        y=state.y,
+        z=state.z,
+        rho=rho0,
+        K=state.K,
+        d=state.d,
+        P=state.P,
+        p=state.p,
+        reg=jnp.asarray(opts.reg_initial, dtype),
+        convals=convals0,
+        iter=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(int(SolveStatus.UNSOLVED), jnp.int32),
+        stop=jnp.asarray(False),
+        phi=jnp.asarray(0.0, dtype),
+        dphi=jnp.asarray(0.0, dtype),
+        alpha=jnp.asarray(0.0, dtype),
+        stat=jnp.asarray(jnp.inf, dtype),
+        feas=jnp.asarray(jnp.inf, dtype),
+        ls_iters=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(c: _Carry):
+        return jnp.logical_and(jnp.logical_not(c.stop), c.iter < opts.iterations_max)
+
+    def body(c: _Carry):
+        # 1. AL + dynamics expansions at the reference trajectory
+        A, B, lx, lu, lxx, luu, lux = al_expansions(problem, c.x, c.u, c.z, c.rho)
+
+        # 2. Riccati backward pass with adaptive regularization
+        gains, reg_used = backward_adaptive(opts, A, B, lxx, luu, lux, lx, lu, c.reg)
+        bp_failed = jnp.logical_not(gains.ok)
+
+        # 3. Merit function at alpha = 0 (value + derivative)
+        def merit_full(alpha):
+            out = merit_function(
+                problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p, c.z, c.rho,
+                alpha, problem.x0, with_derivative=True,
+            )
+            return out.phi, out.dphi
+
+        def merit_value(alpha):
+            out = merit_function(
+                problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p, c.z, c.rho,
+                alpha, problem.x0, with_derivative=False,
+            )
+            return out.phi
+
+        phi0, dphi0 = merit_full(jnp.asarray(0.0, dtype))
+
+        # 4. Line search (solver.cpp:237-271)
+        grad_small = jnp.abs(dphi0) < opts.tol_meritfun_gradient
+        ls = wolfe_line_search(merit_full, merit_value, phi0, dphi0, 1.0, ls_opts)
+        alpha = jnp.where(grad_small, 0.0, ls.alpha)
+        ls_ok = jnp.logical_or(
+            ls.code == int(LineSearchCode.MINIMUM_FOUND),
+            ls.code == int(LineSearchCode.HIT_MAX_STEPSIZE),
+        )
+        ls_failed = jnp.logical_and(
+            jnp.logical_not(grad_small),
+            jnp.logical_or(jnp.isnan(alpha), jnp.logical_not(ls_ok)),
+        )
+
+        # 5. Final merit evaluation at the accepted step: candidate
+        #    trajectory + all expansion data for the next iteration
+        m = merit_function(
+            problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p, c.z, c.rho,
+            alpha, problem.x0, with_derivative=True,
+        )
+
+        # 6. Optimality criteria at the candidate (solver.cpp:456-469)
+        stat = stationarity(m.A, m.B, m.lx, m.lu, m.y)
+        feas = feasibility(problem, m.convals)
+        converged = jnp.logical_and(
+            jnp.abs(stat) < opts.tol_stationarity, feas < opts.tol_primal_feasibility
+        )
+
+        # 7. Adaptive dual/penalty update (solver.cpp:471-489)
+        do_dual = stat < jnp.sqrt(jnp.asarray(opts.tol_stationarity, dtype))
+        z_new = tuple(
+            jnp.where(
+                jnp.logical_and(do_dual, spec.active[:, None]), zp, zj
+            )
+            for spec, zp, zj in zip(problem.constraints, m.zproj, c.z)
+        )
+        do_penalty = jnp.logical_and(do_dual, feas > opts.tol_primal_feasibility)
+        rho_new = jnp.where(
+            do_penalty,
+            jnp.minimum(c.rho * opts.penalty_scaling, opts.penalty_max),
+            c.rho,
+        )
+
+        status = jnp.where(
+            converged,
+            int(SolveStatus.SUCCESS),
+            jnp.where(
+                ls_failed,
+                int(SolveStatus.LINE_SEARCH_FAILED),
+                jnp.where(bp_failed, int(SolveStatus.BACKWARD_PASS_FAILED), c.status),
+            ),
+        ).astype(jnp.int32)
+        stop = jnp.logical_or(converged, jnp.logical_or(ls_failed, bp_failed))
+
+        if opts.verbose >= Verbosity.INNER:
+            jax.debug.print(
+                "  iter = {i}, phi = {p0:.6} -> {p:.6}, dphi = {d0:.4} -> {d:.4}, "
+                "alpha = {a:.4}, ls_iter = {li}, stat = {s:.4}, feas = {f:.4}, "
+                "rho = {r:.3}, dual update? {du}",
+                i=c.iter, p0=phi0, p=m.phi, d0=dphi0, d=m.dphi, a=alpha,
+                li=ls.n_iters, s=stat, f=feas, r=c.rho, du=do_dual,
+            )
+
+        return _Carry(
+            x=m.x,
+            u=m.u,
+            y=m.y,
+            z=z_new,
+            rho=rho_new,
+            K=gains.K,
+            d=gains.d,
+            P=gains.P,
+            p=gains.p,
+            reg=reg_used,
+            convals=m.convals,
+            iter=c.iter + 1,
+            status=status,
+            stop=stop,
+            phi=m.phi,
+            dphi=m.dphi,
+            alpha=alpha,
+            stat=stat,
+            feas=feas,
+            ls_iters=ls.n_iters,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    status = jnp.where(
+        jnp.logical_and(
+            final.status == int(SolveStatus.UNSOLVED), final.iter >= opts.iterations_max
+        ),
+        int(SolveStatus.MAX_ITERATIONS),
+        final.status,
+    ).astype(jnp.int32)
+
+    new_state = SolverState(
+        x=final.x,
+        u=final.u,
+        y=final.y,
+        z=final.z,
+        rho=final.rho,
+        K=final.K,
+        d=final.d,
+        P=final.P,
+        p=final.p,
+        reg=final.reg,
+    )
+    stats = SolveStats(
+        status=status,
+        iterations=final.iter,
+        objective_value=total_cost(problem, final.x, final.u),
+        merit_value=final.phi,
+        stationarity=final.stat,
+        primal_feasibility=final.feas,
+        complementarity=complementarity(problem, final.convals, final.z),
+        rho=final.rho,
+        alpha=final.alpha,
+        ls_iterations=final.ls_iters,
+        dphi=final.dphi,
+    )
+    return new_state, stats
+
+
+def _trajectory_convals(problem: Problem, x, u):
+    """Constraint values along a trajectory, per group [N+1, p]."""
+    N = problem.N
+    ks = jnp.arange(N, dtype=jnp.int32)
+    stage = jax.vmap(lambda k, xk, uk: al.constraint_values(problem, k, xk, uk))(ks, x[:N], u)
+    um = jnp.zeros((problem.m,), x.dtype)
+    term = al.constraint_values(problem, N, x[N], um)
+    return tuple(jnp.concatenate([s, t[None]], axis=0) for s, t in zip(stage, term))
