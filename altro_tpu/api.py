@@ -1,0 +1,537 @@
+"""Stateful convenience facade: `ALTROSolver`.
+
+Mirrors the reference's public pimpl API
+(/root/reference/src/altro/altro_solver.hpp:21-442) for users migrating
+from the C++ solver: per-knot problem definition with [k_start, k_stop)
+ranges and LAST_INDEX / ALL_INDICES sentinels, Initialize/Solve, MPC
+updates, and getters. Internally everything compiles down to the pure
+(Problem, SolverState) pytrees of `altro_tpu.solver`, so `solver.solve()`
+is one jitted call and the same problem can be handed to the batched /
+sharded runners in `altro_tpu.parallel`.
+
+Also ships the reference's declared-but-unimplemented surface (SURVEY
+§7.4): working state/input bound setters (as masked inequality cones),
+feedback/feedforward-gain getters, fully-populated stats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from altro_tpu.cones import Cone
+from altro_tpu.options import SolverOptions
+from altro_tpu.problem import (
+    ConstraintSpec,
+    DiagonalCost,
+    GenericCost,
+    Problem,
+    QuadraticCost,
+)
+from altro_tpu.solver import (
+    SolverState,
+    al_total_cost,
+    init_state,
+    open_loop_rollout,
+    solve as _solve,
+    total_cost,
+)
+from altro_tpu.status import AltroError, ErrorCode, SolveStatus
+
+__all__ = ["ALTROSolver", "LAST_INDEX", "ALL_INDICES"]
+
+LAST_INDEX = -1
+ALL_INDICES = -2
+
+
+class ALTROSolver:
+    """Define-then-solve API over the functional core.
+
+    Typical use (mirrors the reference tests):
+
+        solver = ALTROSolver(N)
+        solver.set_dimension(n, m)
+        solver.set_time_step(h)
+        solver.set_explicit_dynamics(dyn)          # JAX-traceable f(x,u,h,k)
+        solver.set_lqr_cost(Qd, Rd, xf, uf, 0, LAST_INDEX)
+        solver.set_constraint(goal, n_goal, Cone.ZERO, "goal", N)
+        solver.set_initial_state(x0)
+        solver.initialize()
+        status = solver.solve()
+    """
+
+    def __init__(self, horizon_length: int, dtype=None):
+        if horizon_length <= 0:
+            raise AltroError(ErrorCode.BAD_INDEX, "horizon must be positive")
+        self.N = horizon_length
+        self.dtype = dtype or jnp.result_type(float)
+        self.n: Optional[int] = None
+        self.m: Optional[int] = None
+        self._h = np.zeros(self.N)
+        self._dynamics: list = [None] * self.N  # per-knot callables
+        self._dynamics_jac: list = [None] * self.N
+        self._cost_kind = None  # "diagonal" | "quadratic" | "generic"
+        self._cost_rows = None  # dict of stacked arrays
+        self._generic_cost = None
+        self._constraints: list[ConstraintSpec] = []
+        self._x0 = None
+        self._problem: Optional[Problem] = None
+        self._state: Optional[SolverState] = None
+        self._opts = SolverOptions()
+        self._stats = None
+        self._solve_time_ms = float("nan")
+        self._solve_fn = None
+
+    # ------------------------------------------------------------ ranges
+
+    def _range(self, k_start: int, k_stop: int, inclusive: bool) -> range:
+        """Reference index semantics (altro_solver.cpp:385-433):
+        [k_start, k_stop); (0, LAST_INDEX) or (ALL_INDICES, 0) = full
+        range; k_stop <= 0 selects the single index k_start."""
+        terminal = self.N if inclusive else self.N - 1
+        if k_start == ALL_INDICES and k_stop == 0:
+            k_start, k_stop = 0, LAST_INDEX
+        if k_start == 0 and k_stop == LAST_INDEX:
+            return range(0, terminal + 1)
+        if k_stop <= 0:
+            k_stop = k_start + 1
+        if not (0 <= k_start <= terminal) or k_stop > terminal + 1:
+            raise AltroError(
+                ErrorCode.BAD_INDEX, f"index range [{k_start},{k_stop}) out of [0,{terminal + 1})"
+            )
+        return range(k_start, k_stop)
+
+    def _require_dims(self):
+        if self.n is None or self.m is None:
+            raise AltroError(ErrorCode.DIMENSION_UNKNOWN, "call set_dimension first")
+
+    # ----------------------------------------------------------- setters
+
+    def set_dimension(self, num_states: int, num_inputs: int,
+                      k_start: int = 0, k_stop: int = LAST_INDEX):
+        if num_states <= 0:
+            raise AltroError(ErrorCode.STATE_DIM_UNKNOWN)
+        if num_inputs <= 0:
+            raise AltroError(ErrorCode.INPUT_DIM_UNKNOWN)
+        if self.n is not None and (self.n != num_states or self.m != num_inputs):
+            # Heterogeneous dims need padding to the max dims (static shapes)
+            raise AltroError(
+                ErrorCode.DIMENSION_MISMATCH,
+                "heterogeneous state/input dimensions are not supported; pad to "
+                "the max dimension (static shapes are required for vmap/scan)",
+            )
+        self.n, self.m = num_states, num_inputs
+        if self._cost_rows is None:
+            self._init_cost_rows()
+        return self
+
+    def _init_cost_rows(self):
+        n, m, N = self.n, self.m, self.N
+        self._cost_rows = dict(
+            Q=np.zeros((N + 1, n)), R=np.zeros((N + 1, m)),
+            q=np.zeros((N + 1, n)), r=np.zeros((N + 1, m)), c=np.zeros(N + 1),
+            Qfull=np.zeros((N + 1, n, n)), Rfull=np.zeros((N + 1, m, m)),
+            H=np.zeros((N + 1, m, n)),
+        )
+
+    def set_time_step(self, h: float, k_start: int = 0, k_stop: int = LAST_INDEX):
+        if h <= 0:
+            raise AltroError(ErrorCode.TIMESTEP_NOT_POSITIVE)
+        # The reference stores timesteps as float32 (SetTimeStep(float h))
+        h = float(np.float32(h))
+        for k in self._range(k_start, k_stop, inclusive=False):
+            self._h[k] = h
+        return self
+
+    def set_explicit_dynamics(self, dynamics: Callable, jacobian: Optional[Callable] = None,
+                              k_start: int = 0, k_stop: int = LAST_INDEX):
+        """dynamics(x, u, h, k) -> x_next (JAX-traceable).
+        jacobian(x, u, h, k) -> [n, n+m] optional (default: jax.jacfwd)."""
+        for k in self._range(k_start, k_stop, inclusive=False):
+            self._dynamics[k] = dynamics
+            self._dynamics_jac[k] = jacobian
+        return self
+
+    def set_linear_dynamics(self, A, B, f=None, k_start: int = 0, k_stop: int = LAST_INDEX):
+        A = np.asarray(A)
+        B = np.asarray(B)
+        f = np.zeros(A.shape[0]) if f is None else np.asarray(f)
+        Aj, Bj, fj = jnp.asarray(A, self.dtype), jnp.asarray(B, self.dtype), jnp.asarray(f, self.dtype)
+
+        def dyn(x, u, h, k):
+            return Aj @ x + Bj @ u + fj
+
+        def jac(x, u, h, k):
+            return jnp.concatenate([Aj, Bj], axis=1)
+
+        return self.set_explicit_dynamics(dyn, jac, k_start, k_stop)
+
+    def set_lqr_cost(self, Q_diag, R_diag, x_ref, u_ref,
+                     k_start: int = 0, k_stop: int = LAST_INDEX):
+        """Tracking cost 0.5|x-xref|^2_Q + 0.5|u-uref|^2_R, expanded into
+        (q, r, c) exactly as the reference (altro_solver.cpp:138-172)."""
+        self._require_dims()
+        Qd, Rd = np.asarray(Q_diag, float), np.asarray(R_diag, float)
+        xr, ur = np.asarray(x_ref, float), np.asarray(u_ref, float)
+        rows = self._cost_rows
+        for k in self._range(k_start, k_stop, inclusive=True):
+            rows["Q"][k] = Qd
+            rows["R"][k] = Rd
+            rows["q"][k] = -Qd * xr
+            rows["r"][k] = -Rd * ur
+            c = 0.5 * float(xr @ (Qd * xr))
+            if k != self.N:
+                c += 0.5 * float(ur @ (Rd * ur))
+            rows["c"][k] = c
+        self._cost_kind = self._cost_kind or "diagonal"
+        return self
+
+    def set_diagonal_cost(self, Q_diag, R_diag, q, r, c: float = 0.0,
+                          k_start: int = 0, k_stop: int = LAST_INDEX):
+        self._require_dims()
+        rows = self._cost_rows
+        for k in self._range(k_start, k_stop, inclusive=True):
+            rows["Q"][k] = np.asarray(Q_diag, float)
+            rows["R"][k] = np.asarray(R_diag, float)
+            rows["q"][k] = np.asarray(q, float)
+            rows["r"][k] = np.asarray(r, float)
+            rows["c"][k] = c
+        self._cost_kind = self._cost_kind or "diagonal"
+        return self
+
+    def set_quadratic_cost(self, Q, R, H, q, r, c: float = 0.0,
+                           k_start: int = 0, k_stop: int = LAST_INDEX):
+        self._require_dims()
+        rows = self._cost_rows
+        for k in self._range(k_start, k_stop, inclusive=True):
+            rows["Qfull"][k] = np.asarray(Q, float)
+            rows["Rfull"][k] = np.asarray(R, float)
+            rows["H"][k] = np.asarray(H, float)
+            rows["q"][k] = np.asarray(q, float)
+            rows["r"][k] = np.asarray(r, float)
+            rows["c"][k] = c
+        self._cost_kind = "quadratic"
+        return self
+
+    def set_cost_function(self, stage: Callable, terminal: Callable):
+        """Generic JAX-traceable costs: stage(x, u, k), terminal(x).
+        (Working generic costs — the reference drops them on the floor,
+        knotpoint_data.cpp:112-121.)"""
+        self._generic_cost = GenericCost(stage=stage, term=terminal)
+        self._cost_kind = "generic"
+        return self
+
+    def set_constraint(self, fn: Callable, dim: int, cone: Cone, label: str = "",
+                       k_start: int = 0, k_stop: int = 0,
+                       jacobian: Optional[Callable] = None):
+        """fn(x, u, k) -> [dim] (u is zeros at the terminal knot)."""
+        if dim <= 0:
+            raise AltroError(ErrorCode.INVALID_CONSTRAINT_DIM)
+        active = np.zeros(self.N + 1, bool)
+        for k in self._range(k_start, k_stop, inclusive=True):
+            active[k] = True
+        self._constraints.append(
+            ConstraintSpec(fn=fn, cone=cone, dim=dim, active=jnp.asarray(active),
+                           jac=jacobian, label=label)
+        )
+        return self
+
+    def set_state_bounds(self, x_lo=None, x_hi=None,
+                         k_start: int = 0, k_stop: int = LAST_INDEX):
+        """Working native bound constraints (masked inequality cone) —
+        the reference stubs these out (knotpoint_data.cpp:721-737)."""
+        self._require_dims()
+        lo = np.full(self.n, -np.inf) if x_lo is None else np.asarray(x_lo, float)
+        hi = np.full(self.n, np.inf) if x_hi is None else np.asarray(x_hi, float)
+        if np.any(hi < lo):
+            raise AltroError(ErrorCode.INVALID_BOUND_CONSTRAINT)
+        return self._bound_constraint(lo, hi, on_state=True, label="state bounds",
+                                      k_start=k_start, k_stop=k_stop, inclusive=True)
+
+    def set_input_bounds(self, u_lo=None, u_hi=None,
+                         k_start: int = 0, k_stop: int = LAST_INDEX):
+        self._require_dims()
+        lo = np.full(self.m, -np.inf) if u_lo is None else np.asarray(u_lo, float)
+        hi = np.full(self.m, np.inf) if u_hi is None else np.asarray(u_hi, float)
+        if np.any(hi < lo):
+            raise AltroError(ErrorCode.INVALID_BOUND_CONSTRAINT)
+        return self._bound_constraint(lo, hi, on_state=False, label="input bounds",
+                                      k_start=k_start, k_stop=k_stop, inclusive=False)
+
+    def _bound_constraint(self, lo, hi, on_state, label, k_start, k_stop, inclusive):
+        finite_hi = np.isfinite(hi)
+        finite_lo = np.isfinite(lo)
+        hi_f = jnp.asarray(np.where(finite_hi, hi, 0.0), self.dtype)
+        lo_f = jnp.asarray(np.where(finite_lo, lo, 0.0), self.dtype)
+        mask_hi = jnp.asarray(finite_hi, self.dtype)
+        mask_lo = jnp.asarray(finite_lo, self.dtype)
+        dim = len(lo)
+
+        def fn(x, u, k):
+            v = x if on_state else u
+            # Infinite bounds contribute a constant -1 (strictly feasible)
+            c_hi = jnp.where(mask_hi > 0, v - hi_f, -1.0)
+            c_lo = jnp.where(mask_lo > 0, lo_f - v, -1.0)
+            return jnp.concatenate([c_hi, c_lo])
+
+        active = np.zeros(self.N + 1, bool)
+        for k in self._range(k_start, k_stop, inclusive=inclusive):
+            active[k] = True
+        self._constraints.append(
+            ConstraintSpec(fn=fn, cone=Cone.NEGATIVE_ORTHANT, dim=2 * dim,
+                           active=jnp.asarray(active), label=label)
+        )
+        return self
+
+    def set_initial_state(self, x0):
+        self._x0 = np.asarray(x0, float)
+        if self._problem is not None:
+            self._problem = dataclasses.replace(
+                self._problem, x0=jnp.asarray(self._x0, self.dtype)
+            )
+        return self
+
+    def set_options(self, opts: SolverOptions):
+        self._opts = opts
+        self._solve_fn = None
+        return self
+
+    # ------------------------------------------------------ initialization
+
+    def _build_cost(self):
+        rows = self._cost_rows
+        dt = self.dtype
+        if self._cost_kind == "generic":
+            return self._generic_cost
+        if self._cost_kind == "quadratic":
+            Q = rows["Qfull"].copy()
+            R = rows["Rfull"].copy()
+            # Knots set via the diagonal API fold into the full matrices
+            diag_mask = np.abs(Q).sum(axis=(1, 2)) == 0
+            for k in np.where(diag_mask)[0]:
+                Q[k] = np.diag(rows["Q"][k])
+                R[k] = np.diag(rows["R"][k])
+            return QuadraticCost(
+                Q=jnp.asarray(Q, dt), R=jnp.asarray(R, dt), H=jnp.asarray(rows["H"], dt),
+                q=jnp.asarray(rows["q"], dt), r=jnp.asarray(rows["r"], dt),
+                c=jnp.asarray(rows["c"], dt),
+            )
+        return DiagonalCost(
+            Q=jnp.asarray(rows["Q"], dt), R=jnp.asarray(rows["R"], dt),
+            q=jnp.asarray(rows["q"], dt), r=jnp.asarray(rows["r"], dt),
+            c=jnp.asarray(rows["c"], dt),
+        )
+
+    def _build_dynamics(self):
+        fns = self._dynamics
+        jacs = self._dynamics_jac
+        if any(f is None for f in fns):
+            raise AltroError(ErrorCode.DYNAMICS_FUN_NOT_SET)
+        unique = []
+        index = np.zeros(self.N, np.int32)
+        for k, f in enumerate(fns):
+            for i, (g, _) in enumerate(unique):
+                if g is f:
+                    index[k] = i
+                    break
+            else:
+                index[k] = len(unique)
+                unique.append((f, jacs[k]))
+        if len(unique) == 1:
+            return unique[0][0], unique[0][1]
+        # Per-knot dynamics: dispatch with lax.switch on a static index map
+        idx = jnp.asarray(index)
+
+        def dyn(x, u, h, k):
+            return jax.lax.switch(idx[k], [f for f, _ in unique], x, u, h, k)
+
+        have_jacs = all(j is not None for _, j in unique)
+        if not have_jacs:
+            return dyn, None
+
+        def jac(x, u, h, k):
+            return jax.lax.switch(idx[k], [j for _, j in unique], x, u, h, k)
+
+        return dyn, jac
+
+    def initialize(self):
+        self._require_dims()
+        if self._cost_kind is None:
+            raise AltroError(ErrorCode.COST_FUN_NOT_SET)
+        if self._x0 is None:
+            self._x0 = np.zeros(self.n)
+        if np.any(self._h <= 0):
+            raise AltroError(ErrorCode.TIMESTEP_NOT_POSITIVE)
+        dyn, jac = self._build_dynamics()
+        self._problem = Problem(
+            N=self.N, n=self.n, m=self.m, dynamics=dyn, dynamics_jac=jac,
+            constraints=tuple(self._constraints), cost=self._build_cost(),
+            h=jnp.asarray(self._h, self.dtype), x0=jnp.asarray(self._x0, self.dtype),
+        )
+        self._state = init_state(self._problem)
+        return self
+
+    def is_initialized(self) -> bool:
+        return self._problem is not None
+
+    def _require_init(self):
+        if not self.is_initialized():
+            raise AltroError(ErrorCode.SOLVER_NOT_INITIALIZED)
+
+    # ------------------------------------------------------------- running
+
+    @property
+    def problem(self) -> Problem:
+        self._require_init()
+        return self._problem
+
+    @property
+    def state(self) -> SolverState:
+        self._require_init()
+        return self._state
+
+    def set_state(self, x, k_start: int = 0, k_stop: int = LAST_INDEX):
+        self._require_init()
+        ks = list(self._range(k_start, k_stop, inclusive=True))
+        new_x = self._state.x.at[jnp.asarray(ks)].set(jnp.asarray(x, self.dtype))
+        self._state = dataclasses.replace(self._state, x=new_x)
+        return self
+
+    def set_input(self, u, k_start: int = 0, k_stop: int = LAST_INDEX):
+        self._require_init()
+        ks = list(self._range(k_start, k_stop, inclusive=False))
+        new_u = self._state.u.at[jnp.asarray(ks)].set(jnp.asarray(u, self.dtype))
+        self._state = dataclasses.replace(self._state, u=new_u)
+        return self
+
+    def open_loop_rollout(self):
+        self._require_init()
+        x = open_loop_rollout(self._problem, self._state.u)
+        self._state = dataclasses.replace(self._state, x=x)
+        return self
+
+    def calc_cost(self) -> float:
+        """Objective + AL penalty terms at the current trajectory
+        (reference CalcCost, solver.cpp:163-174)."""
+        self._require_init()
+        return float(
+            al_total_cost(self._problem, self._state.x, self._state.u,
+                          self._state.z, self._state.rho)
+        )
+
+    def solve(self) -> SolveStatus:
+        self._require_init()
+        if self._solve_fn is None:
+            self._solve_fn = jax.jit(_solve, static_argnames=("opts",))
+        t0 = time.perf_counter()
+        state, stats = self._solve_fn(self._problem, self._state, self._opts)
+        stats = jax.block_until_ready(stats)
+        self._solve_time_ms = (time.perf_counter() - t0) * 1e3
+        self._state = state
+        self._stats = stats
+        status = SolveStatus(int(stats.status))
+        if self._opts.throw_errors and status not in (
+            SolveStatus.SUCCESS, SolveStatus.MAX_ITERATIONS
+        ):
+            raise AltroError(ErrorCode.LINE_SEARCH_FAILED, f"solve failed: {status.name}")
+        return status
+
+    # ------------------------------------------------------------- getters
+
+    def get_state(self, k: int) -> np.ndarray:
+        self._require_init()
+        return np.asarray(self._state.x[k])
+
+    def get_input(self, k: int) -> np.ndarray:
+        self._require_init()
+        return np.asarray(self._state.u[k])
+
+    def get_dual_dynamics(self, k: int) -> np.ndarray:
+        self._require_init()
+        return np.asarray(self._state.y[k])
+
+    def get_feedback_gain(self, k: int) -> np.ndarray:
+        """K_k — declared but unimplemented in the reference
+        (altro_solver.hpp:381, no definition)."""
+        self._require_init()
+        return np.asarray(self._state.K[k])
+
+    def get_feedforward_gain(self, k: int) -> np.ndarray:
+        self._require_init()
+        return np.asarray(self._state.d[k])
+
+    def get_iterations(self) -> int:
+        return int(self._stats.iterations)
+
+    def get_status(self) -> SolveStatus:
+        return SolveStatus(int(self._stats.status))
+
+    def get_solve_time_ms(self) -> float:
+        return self._solve_time_ms
+
+    def get_final_objective(self) -> float:
+        return float(self._stats.objective_value)
+
+    def get_primal_feasibility(self) -> float:
+        return float(self._stats.primal_feasibility)
+
+    def get_stationarity(self) -> float:
+        return float(self._stats.stationarity)
+
+    @property
+    def stats(self):
+        return self._stats
+
+    def get_time_step(self, k: int) -> float:
+        return float(self._h[k])
+
+    def get_horizon_length(self) -> int:
+        return self.N
+
+    def get_state_dim(self) -> int:
+        return self.n
+
+    def get_input_dim(self) -> int:
+        return self.m
+
+    # ----------------------------------------------------------------- MPC
+
+    def update_linear_costs(self, q=None, r=None, c=None,
+                            k_start: int = 0, k_stop: int = LAST_INDEX):
+        """Slide the linear cost terms (altro_solver.cpp:266-281)."""
+        self._require_init()
+        if not isinstance(self._problem.cost, (DiagonalCost, QuadraticCost)):
+            raise AltroError(ErrorCode.COST_NOT_QUADRATIC)
+        cost = self._problem.cost
+        ks = jnp.asarray(list(self._range(k_start, k_stop, inclusive=True)))
+        kw = {}
+        if q is not None:
+            kw["q"] = cost.q.at[ks].set(jnp.asarray(q, self.dtype))
+        if r is not None:
+            kw["r"] = cost.r.at[ks].set(jnp.asarray(r, self.dtype))
+        if c is not None:
+            kw["c"] = cost.c.at[ks].set(jnp.asarray(c, self.dtype))
+        self._problem = dataclasses.replace(
+            self._problem, cost=dataclasses.replace(cost, **kw)
+        )
+        return self
+
+    def update_initial_state(self, x0):
+        self._require_init()
+        self._problem = dataclasses.replace(
+            self._problem, x0=jnp.asarray(x0, self.dtype)
+        )
+        return self
+
+    def shift_trajectory(self):
+        """Warm-start shift (altro_solver.cpp:283-293)."""
+        self._require_init()
+        from altro_tpu.mpc import shift_trajectory
+
+        self._state = shift_trajectory(self._state)
+        return self

@@ -1,0 +1,139 @@
+"""Stateful ALTROSolver facade tests (mirrors reference API usage patterns
+from double_integrator_test.cpp / pendulum_test.cpp), plus the surface the
+reference declares but never implemented: working input/state bounds,
+gain getters, generic costs, populated stats.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from altro_tpu.api import ALL_INDICES, ALTROSolver, LAST_INDEX
+from altro_tpu.cones import Cone
+from altro_tpu.models.double_integrator import double_integrator_dynamics
+from altro_tpu.options import SolverOptions
+from altro_tpu.status import AltroError, SolveStatus
+
+N, DIM = 10, 2
+NX, NU = 2 * DIM, DIM
+
+
+def build_solver(x0, penalty_scaling=100.0, penalty_initial=1.0):
+    solver = ALTROSolver(N)
+    solver.set_dimension(NX, NU)
+    solver.set_time_step(0.5)
+    solver.set_explicit_dynamics(double_integrator_dynamics(DIM))
+    solver.set_lqr_cost(np.ones(NX), np.full(NU, 1e-2), np.zeros(NX), np.zeros(NU), 0, LAST_INDEX)
+    solver.set_initial_state(x0)
+    solver.set_options(SolverOptions(penalty_initial=penalty_initial,
+                                     penalty_scaling=penalty_scaling))
+    return solver
+
+
+def test_goal_constrained_via_api():
+    solver = build_solver([1.0, 2.0, 0.0, 0.0])
+    xf = jnp.zeros(NX)
+    solver.set_constraint(lambda x, u, k: x - xf, NX, Cone.ZERO, "goal", N)
+    solver.initialize()
+    assert solver.is_initialized()
+    status = solver.solve()
+    assert status == SolveStatus.SUCCESS
+    assert solver.get_iterations() == 3
+    assert np.linalg.norm(solver.get_state(N)) < 1e-4
+    # Fully-populated stats (reference leaves these stale, SURVEY §2.1)
+    assert solver.get_primal_feasibility() < 1e-4
+    assert solver.get_stationarity() < 1e-4
+    assert np.isfinite(solver.get_final_objective())
+    assert solver.get_solve_time_ms() > 0
+    # Gain getters (declared-but-missing in the reference)
+    assert solver.get_feedback_gain(0).shape == (NU, NX)
+    assert solver.get_feedforward_gain(0).shape == (NU,)
+    assert solver.get_dual_dynamics(N).shape == (NX,)
+
+
+def test_input_bounds_via_api():
+    """Native bound constraints — equivalent to the hand-written
+    inequality cone of double_integrator_test.cpp:294-316."""
+    solver = build_solver([2.0, 2.0, 0.0, 0.0], penalty_initial=100.0)
+    xf = jnp.zeros(NX)
+    solver.set_constraint(lambda x, u, k: x - xf, NX, Cone.ZERO, "goal", N)
+    solver.set_input_bounds(u_lo=[-1.0, -1.0], u_hi=[1.0, 1.0])
+    solver.initialize()
+    status = solver.solve()
+    assert status == SolveStatus.SUCCESS
+    assert solver.get_iterations() == 5
+    np.testing.assert_allclose(solver.get_input(0), [-1.0, -1.0], atol=1e-4)
+
+
+def test_generic_cost():
+    """Working generic costs via autodiff (the reference's SetCostFunction
+    drops its callbacks, knotpoint_data.cpp:112-121)."""
+    solver = ALTROSolver(N)
+    solver.set_dimension(NX, NU)
+    solver.set_time_step(0.5)
+    solver.set_explicit_dynamics(double_integrator_dynamics(DIM))
+    solver.set_cost_function(
+        stage=lambda x, u, k: 0.5 * jnp.sum(x * x) + 0.5e-2 * jnp.sum(u * u),
+        terminal=lambda x: 0.5 * jnp.sum(x * x),
+    )
+    solver.set_initial_state([1.0, 2.0, 0.0, 0.0])
+    solver.set_options(SolverOptions(iterations_max=10))
+    solver.initialize()
+    status = solver.solve()
+    assert status == SolveStatus.SUCCESS
+    # Same problem as the diagonal LQR cost -> same solution family
+    assert np.linalg.norm(solver.get_state(N)) < np.linalg.norm([1.0, 2.0, 0.0, 0.0])
+
+
+def test_quadratic_cost_with_cross_term():
+    solver = ALTROSolver(N)
+    solver.set_dimension(NX, NU)
+    solver.set_time_step(0.5)
+    solver.set_explicit_dynamics(double_integrator_dynamics(DIM))
+    Q = np.eye(NX)
+    R = 1e-2 * np.eye(NU)
+    H = np.full((NU, NX), 1e-3)
+    solver.set_quadratic_cost(Q, R, H, np.zeros(NX), np.zeros(NU), 0.0, 0, LAST_INDEX)
+    solver.set_initial_state([1.0, 2.0, 0.0, 0.0])
+    solver.set_options(SolverOptions(iterations_max=10))
+    solver.initialize()
+    assert solver.solve() == SolveStatus.SUCCESS
+
+
+def test_mpc_methods():
+    solver = build_solver([1.0, 2.0, 0.0, 0.0])
+    solver.initialize()
+    solver.solve()
+    x1 = solver.get_state(1)
+    solver.update_linear_costs(q=np.full(NX, 0.1), k_start=0, k_stop=LAST_INDEX)
+    solver.set_initial_state(x1)
+    solver.shift_trajectory()
+    np.testing.assert_allclose(solver.get_state(0), x1, atol=1e-12)
+    assert solver.solve() in (SolveStatus.SUCCESS, SolveStatus.MAX_ITERATIONS)
+
+
+def test_error_paths():
+    solver = ALTROSolver(N)
+    with pytest.raises(AltroError):
+        solver.initialize()  # no dims/cost
+    solver.set_dimension(NX, NU)
+    with pytest.raises(AltroError):
+        solver.set_time_step(-1.0)
+    with pytest.raises(AltroError):
+        solver.initialize()  # cost not set
+    with pytest.raises(AltroError):
+        solver.set_input_bounds(u_lo=[1.0, 1.0], u_hi=[-1.0, -1.0])
+    with pytest.raises(AltroError):
+        ALTROSolver(0)
+
+
+def test_range_sentinels():
+    solver = ALTROSolver(N)
+    solver.set_dimension(NX, NU)
+    assert list(solver._range(0, LAST_INDEX, True)) == list(range(N + 1))
+    assert list(solver._range(0, LAST_INDEX, False)) == list(range(N))
+    assert list(solver._range(ALL_INDICES, 0, True)) == list(range(N + 1))
+    assert list(solver._range(3, 0, True)) == [3]
+    assert list(solver._range(3, 7, True)) == [3, 4, 5, 6]
+    with pytest.raises(AltroError):
+        solver._range(N + 1, 0, True)
