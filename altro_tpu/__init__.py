@@ -26,5 +26,28 @@ from altro_tpu.cones import (
     project_hessian,
     project_jacobian,
 )
+from altro_tpu.tvlqr import TVLQRGains, tvlqr_backward, tvlqr_forward
+from altro_tpu.problem import (
+    ConstraintSpec,
+    Cost,
+    DiagonalCost,
+    GenericCost,
+    Problem,
+    QuadraticCost,
+    lqr_cost_from_reference,
+)
+from altro_tpu.options import SolverOptions, Verbosity
+from altro_tpu.status import AltroError, ErrorCode, LineSearchCode, SolveStatus
+from altro_tpu.solver import (
+    SolveStats,
+    SolverState,
+    init_state,
+    merit_function,
+    open_loop_rollout,
+    solve,
+    total_cost,
+)
+from altro_tpu.api import ALL_INDICES, ALTROSolver, LAST_INDEX
+from altro_tpu import al, io, linesearch, models, mpc, parallel
 
 __version__ = "0.1.0"

@@ -1,0 +1,187 @@
+"""Benchmark: batched warm-started Scotty-MPC resolves (solves/s/chip).
+
+The BASELINE.json north-star workload: a fleet of receding-horizon
+bicycle MPC controllers tracking the Scotty path (horizon N=30,
+steering-angle bounds, warm-started resolves with sliding references) —
+the exact loop of the reference's TrackingMPC test
+(/root/reference/test/bicycle_test.cpp:266-360), but with B scenario
+lanes vmapped per chip and the whole closed-loop simulation fused into a
+single jitted lax.scan over ticks.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "solves/s", "vs_baseline": ...}
+
+vs_baseline is against the single-threaded C++ reference estimate in
+BASELINE.md (1000 warm-started resolves/s; the reference cannot be built
+in this zero-egress image — see BASELINE.md for the derivation).
+"""
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import time
+
+BASELINE_SOLVES_PER_S = 1000.0  # single-threaded C++ reference estimate (BASELINE.md)
+
+
+def pick_platform() -> str:
+    """Probe the TPU backend in a subprocess (its init can hang if the
+    tunnel is down); fall back to CPU."""
+    forced = os.environ.get("ALTRO_BENCH_PLATFORM")
+    if forced:
+        return forced
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            timeout=150,
+            capture_output=True,
+        )
+        if probe.returncode == 0:
+            return "tpu"
+    except subprocess.TimeoutExpired:
+        pass
+    return "cpu"
+
+
+def main():
+    platform = pick_platform()
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from altro_tpu.cones import Cone
+    from altro_tpu.io.scotty import load_scotty, synthetic_scotty
+    from altro_tpu.models.bicycle import bicycle_continuous
+    from altro_tpu.models.integrators import midpoint
+    from altro_tpu.options import SolverOptions
+    from altro_tpu.parallel.batch import batch_init_state
+    from altro_tpu.problem import ConstraintSpec, Problem, lqr_cost_from_reference
+    from altro_tpu.solver import solve
+
+    dtype = jnp.float32
+    N, n, m = 30, 4, 2
+    B = int(os.environ.get("ALTRO_BENCH_BATCH", "1024"))
+    NSIM = int(os.environ.get("ALTRO_BENCH_TICKS", "50"))
+
+    try:
+        ref = load_scotty()
+    except FileNotFoundError:
+        ref = synthetic_scotty(N=500)
+    h = float(np.float32(ref.tf / ref.N))
+
+    Qd = np.full(n, 1e-2)
+    Rd = np.full(m, 1e-3)
+    cost0 = lqr_cost_from_reference(
+        jnp.asarray(np.tile(Qd, (N + 1, 1)), dtype),
+        jnp.asarray(np.tile(Rd, (N + 1, 1)), dtype),
+        jnp.asarray(ref.x[: N + 1], dtype),
+        jnp.asarray(ref.u[: N + 1], dtype),
+    )
+    delta_max = 60 * np.pi / 180.0
+    steering = ConstraintSpec(
+        fn=lambda x, u, k: jnp.stack([x[3] - delta_max, -delta_max - x[3]]),
+        cone=Cone.NEGATIVE_ORTHANT, dim=2, active=jnp.ones(N + 1, bool),
+        label="steering bound",
+    )
+    dyn = midpoint(bicycle_continuous())
+    problem = Problem(
+        N=N, n=n, m=m, dynamics=dyn, dynamics_jac=None, constraints=(steering,),
+        cost=cost0, h=jnp.full(N, h, dtype), x0=jnp.asarray(ref.x[0], dtype),
+    )
+    opts = SolverOptions(
+        iterations_max=10,
+        use_backtracking_linesearch=True,
+        tol_stationarity=1e-3,
+        tol_primal_feasibility=1e-3,
+        throw_errors=False,
+    )
+
+    # Sliding tracking windows (shared across lanes), precomputed on host
+    xw = np.stack([ref.x[t : t + N + 1] for t in range(NSIM + 1)])  # [NSIM+1, N+1, n]
+    qs = jnp.asarray(-(Qd[None, None, :] * xw), dtype)
+    cs_ = 0.5 * np.sum(Qd[None, None, :] * xw * xw, axis=2)
+    c_u = 0.5 * float(ref.u[0] @ (Rd * ref.u[0]))
+    cs_[:, :N] += c_u
+    cs = jnp.asarray(cs_, dtype)
+
+    # Per-lane perturbed initial conditions
+    key = jax.random.PRNGKey(0)
+    x_true0 = jnp.asarray(ref.x[0], dtype)[None, :] + 0.02 * jax.random.normal(
+        key, (B, n), dtype
+    )
+    states0 = batch_init_state(problem, B)
+    states0 = dataclasses.replace(
+        states0,
+        u=jnp.tile(jnp.asarray([ref.u[0][0], 0.0], dtype), (B, N, 1)),
+        x=jnp.tile(jnp.asarray(ref.x[: N + 1], dtype), (B, 1, 1)),
+    )
+
+    def resolve_one(x0, q, c, state):
+        cost = dataclasses.replace(problem.cost, q=q, c=c)
+        prob = dataclasses.replace(problem, x0=x0, cost=cost)
+        new_state, stats = solve(prob, state, opts)
+        return new_state, stats
+
+    xw_dev = jnp.asarray(xw, dtype)
+
+    def tick(carry, t):
+        from altro_tpu.mpc import shift_trajectory
+
+        x_true, states = carry
+        q_t = jnp.broadcast_to(qs[t], (B,) + qs[t].shape)
+        c_t = jnp.broadcast_to(cs[t], (B,) + cs[t].shape)
+        states, stats = jax.vmap(resolve_one)(x_true, q_t, c_t, states)
+        u0 = states.u[:, 0]
+        x_true = jax.vmap(lambda x, u: dyn(x, u, jnp.asarray(h, dtype), 0))(x_true, u0)
+        states = jax.vmap(shift_trajectory)(states)
+        err = jnp.linalg.norm(x_true - xw_dev[t + 1, 0][None, :], axis=1)
+        return (x_true, states), (stats.iterations, err)
+
+    @jax.jit
+    def run(x_true, states):
+        (x_true, states), (iters, errs) = jax.lax.scan(
+            tick, (x_true, states), jnp.arange(NSIM)
+        )
+        return x_true, states, iters, errs
+
+    # Warm-up / compile
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(run(x_true0, states0))
+    compile_s = time.perf_counter() - t0
+
+    # Timed run
+    t0 = time.perf_counter()
+    x_true, states, iters, errs = jax.block_until_ready(run(x_true0, states0))
+    elapsed = time.perf_counter() - t0
+
+    total_solves = B * NSIM
+    solves_per_s = total_solves / elapsed
+    mean_iters = float(jnp.mean(iters))
+    mean_err = float(jnp.mean(errs))
+    per_tick_ms = elapsed / NSIM * 1e3
+
+    result = {
+        "metric": "scotty_mpc_warm_resolves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
+        "platform": platform,
+        "batch": B,
+        "ticks": NSIM,
+        "horizon": N,
+        "batch_resolve_latency_ms": round(per_tick_ms, 3),
+        "mean_iterations": round(mean_iters, 3),
+        "mean_tracking_error": round(mean_err, 4),
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
