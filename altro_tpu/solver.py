@@ -36,7 +36,7 @@ from altro_tpu.linesearch import LineSearchOptions, wolfe_line_search
 from altro_tpu.options import SolverOptions, Verbosity
 from altro_tpu.problem import Problem
 from altro_tpu.status import LineSearchCode, SolveStatus
-from altro_tpu.tvlqr import TVLQRGains, tvlqr_backward
+from altro_tpu.tvlqr import TVLQRGains, tvlqr_backward, tvlqr_backward_associative
 
 __all__ = ["SolverState", "SolveStats", "init_state", "solve", "open_loop_rollout", "total_cost"]
 
@@ -333,9 +333,10 @@ def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
     recovers instead of dying.
     """
     f_zero = jnp.zeros_like(lx[: A.shape[0]])
+    backward = tvlqr_backward_associative if opts.parallel_riccati else tvlqr_backward
 
     def attempt(reg):
-        return tvlqr_backward(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
+        return backward(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
 
     gains0 = attempt(reg0)
 

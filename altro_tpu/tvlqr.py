@@ -24,7 +24,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["TVLQRGains", "tvlqr_backward", "tvlqr_forward"]
+__all__ = [
+    "TVLQRGains",
+    "tvlqr_backward",
+    "tvlqr_forward",
+    "tvlqr_backward_associative",
+    "tvlqr_forward_associative",
+]
 
 
 class TVLQRGains(NamedTuple):
@@ -145,4 +151,160 @@ def tvlqr_forward(A, B, f, K, d, P, p, x0):
     )
     x = jnp.concatenate([x_stack, x_N[None]], axis=0)
     y = jnp.concatenate([y_stack, (P[N] @ x_N + p[N])[None]], axis=0)
+    return x, u, y
+
+
+# ---------------------------------------------------------------------------
+# Parallel-in-time (associative scan) variants — O(log N) depth instead of
+# O(N). The backward pass follows the temporal-parallelization-of-Riccati
+# construction (see PAPERS.md: "The Parallelization of Riccati Recursion",
+# Särkkä & García-Fernández's parallel LQT elements): each stage becomes a
+# conditional-value-function element (A, b, C, eta, J) with an associative
+# composition, suffix-reduced with `lax.associative_scan`; gains are then
+# recovered per knot with one vmapped solve (embarrassingly parallel).
+# ---------------------------------------------------------------------------
+
+
+def _combine_value_elements(a, b):
+    """Compose element a (earlier span) with element b (later span).
+
+    Elements parameterize V(x_i, x_j) = 0.5 |x_j - A x_i - b|^2_{C^-1}
+    + 0.5 x_i' J x_i - eta' x_i (the C-part is a generalized/possibly
+    singular quadratic; only (I + C J)^-1 inverses appear).
+    """
+    Aa, ba, Ca, etaa, Ja = a
+    Ab, bb, Cb, etab, Jb = b
+    n = Aa.shape[-1]
+    eye = jnp.eye(n, dtype=Aa.dtype)
+
+    # (I + Ca Jb)^-1 applied from the left
+    M = jnp.linalg.solve(eye + Ca @ Jb, jnp.concatenate([Aa, (ba + Ca @ etab)[..., None], Ca], axis=-1))
+    M_Aa = M[..., :n]
+    M_vec = M[..., n]
+    M_Ca = M[..., n + 1 :]
+
+    A = Ab @ M_Aa
+    b_out = Ab @ M_vec + bb
+    C = Ab @ M_Ca @ Ab.T + Cb
+
+    # (I + Jb Ca)^-1 applied from the left
+    N2 = jnp.linalg.solve(
+        eye + Jb @ Ca, jnp.concatenate([(etab - Jb @ ba)[..., None], Jb @ Aa], axis=-1)
+    )
+    eta = Aa.T @ N2[..., 0] + etaa
+    J = Aa.T @ N2[..., 1:] + Ja
+
+    C = 0.5 * (C + C.T)
+    J = 0.5 * (J + J.T)
+    return A, b_out, C, eta, J
+
+
+def tvlqr_backward_associative(A, B, f, lxx, luu, lux, lx, lu, reg=0.0) -> TVLQRGains:
+    """Parallel Riccati backward pass via `lax.associative_scan`.
+
+    Same interface/results as `tvlqr_backward` (to numerical tolerance);
+    O(log N) sequential depth, so long horizons parallelize across the
+    TPU's vector lanes / cores instead of serializing the scan.
+
+    Requires the input cost blocks luu to be PD on their own (the stage
+    elimination inverts luu + reg I, not Quu); AL-augmented problems
+    satisfy this. Cholesky failures are flagged per knot like the serial
+    pass.
+    """
+    N, n = A.shape[0], A.shape[1]
+    m = B.shape[2]
+    dtype = A.dtype
+    reg = jnp.asarray(reg, dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    def stage_element(A_k, B_k, f_k, Q_k, R_k, H_k, q_k, r_k):
+        R_reg = R_k + reg * eye_m
+        chol = jnp.linalg.cholesky(R_reg)
+        ok = jnp.all(jnp.isfinite(chol))
+        chol_safe = jnp.where(ok, chol, eye_m)
+        # R^-1 [H, r, B^T]
+        rhs = jnp.concatenate([H_k, r_k[:, None], B_k.T], axis=1)
+        sol = _psd_solve(chol_safe, rhs)
+        RiH = sol[:, :n]
+        Rir = sol[:, n]
+        RiBt = sol[:, n + 1 :]
+        A_t = A_k - B_k @ RiH
+        b_t = f_k - B_k @ Rir
+        C_t = B_k @ RiBt
+        J_t = Q_k - H_k.T @ RiH
+        eta_t = -(q_k - H_k.T @ Rir)
+        return (A_t, b_t, 0.5 * (C_t + C_t.T), eta_t, 0.5 * (J_t + J_t.T)), ok
+
+    elems, ok_all = jax.vmap(stage_element)(
+        A, B, f, lxx[:N], luu, lux, lx[:N], lu
+    )
+
+    # Append the terminal element (pure cost on x_N)
+    zero_A = jnp.zeros((1, n, n), dtype)
+    term = (
+        zero_A,
+        jnp.zeros((1, n), dtype),
+        jnp.zeros((1, n, n), dtype),
+        -lx[N][None],
+        lxx[N][None],
+    )
+    elems = tuple(jnp.concatenate([e, t], axis=0) for e, t in zip(elems, term))
+
+    # NOTE: with reverse=True, associative_scan passes arguments in
+    # reversed span order (a = later accumulation, b = earlier element),
+    # so swap into our (earlier, later) composition convention.
+    suffix = jax.lax.associative_scan(
+        jax.vmap(lambda a, b: _combine_value_elements(b, a)), elems, reverse=True
+    )
+    P = suffix[4]
+    p = -suffix[3]
+
+    # Recover gains per knot from P_{k+1}, p_{k+1} (standard action-value
+    # formulas, embarrassingly parallel).
+    def gains_at(A_k, B_k, f_k, Q_k, R_k, H_k, q_k, r_k, P_next, p_next):
+        BtP = B_k.T @ P_next
+        Quu = R_k + BtP @ B_k
+        Qux = H_k + BtP @ A_k
+        t = P_next @ f_k + p_next
+        Qu = r_k + B_k.T @ t
+        chol = jnp.linalg.cholesky(Quu + reg * eye_m)
+        ok = jnp.all(jnp.isfinite(chol))
+        chol_safe = jnp.where(ok, chol, eye_m)
+        K_k = jnp.where(ok, _psd_solve(chol_safe, Qux), 0.0)
+        d_k = jnp.where(ok, _psd_solve(chol_safe, -Qu), 0.0)
+        dV_k = jnp.stack([jnp.dot(d_k, Qu), 0.5 * jnp.dot(d_k, Quu @ d_k)])
+        return K_k, d_k, dV_k, ok
+
+    K, d, dV_all, ok_gains = jax.vmap(gains_at)(
+        A, B, f, lxx[:N], luu, lux, lx[:N], lu, P[1:], p[1:]
+    )
+    ok_all = jnp.logical_and(ok_all, ok_gains)
+    delta_V = jnp.sum(dV_all, axis=0)
+    ok = jnp.all(ok_all)
+    fail_index = jnp.where(
+        ok_all, jnp.asarray(N, jnp.int32), jnp.arange(N, dtype=jnp.int32)
+    )
+    return TVLQRGains(K, d, P, p, delta_V, ok, jnp.min(fail_index))
+
+
+def tvlqr_forward_associative(A, B, f, K, d, P, p, x0):
+    """Parallel affine closed-loop rollout: the recurrence
+    x' = (A - BK) x + (B d + f) is a composition of affine maps,
+    prefix-scanned in O(log N) depth. Same results as `tvlqr_forward`.
+    """
+    N = A.shape[0]
+    M = A - jnp.einsum("knm,kmj->knj", B, K)
+    v = jnp.einsum("knm,km->kn", B, d) + f
+
+    def compose(a, b):
+        # b after a: x -> Mb (Ma x + va) + vb
+        Ma, va = a
+        Mb, vb = b
+        return Mb @ Ma, Mb @ va + vb
+
+    Mp, vp = jax.lax.associative_scan(jax.vmap(compose), (M, v))
+    x_rest = jnp.einsum("knj,j->kn", Mp, x0) + vp  # x_1 .. x_N
+    x = jnp.concatenate([x0[None], x_rest], axis=0)
+    u = jnp.einsum("km->km", d) - jnp.einsum("kmn,kn->km", K, x[:N])
+    y = jnp.einsum("knj,kj->kn", P, x) + p
     return x, u, y
