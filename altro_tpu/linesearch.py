@@ -111,6 +111,8 @@ class LineSearchResult(NamedTuple):
     dphi: jnp.ndarray
     code: jnp.ndarray  # int32 LineSearchCode
     n_iters: jnp.ndarray  # merit evaluations performed
+    aux: object = ()  # payload of the last FULL merit evaluation
+    aux_alpha: jnp.ndarray = jnp.nan  # alpha of that evaluation
 
 
 # modes
@@ -120,6 +122,8 @@ _BRACKET, _CUBIC, _ZOOM, _BACKTRACK, _DONE = range(5)
 class _State(NamedTuple):
     mode: jnp.ndarray
     alpha_next: jnp.ndarray  # trial step evaluated at loop top
+    aux: object  # payload of the last full merit evaluation
+    aux_alpha: jnp.ndarray  # alpha of that evaluation
     small_window: jnp.ndarray  # zoom: this trial is the tiny-window midpoint
     n_iters: jnp.ndarray
     iter: jnp.ndarray  # bracket-loop counter
@@ -156,12 +160,19 @@ def wolfe_line_search(
     dphi0,
     alpha0=1.0,
     opts: LineSearchOptions = LineSearchOptions(),
+    aux0=None,
 ) -> LineSearchResult:
     """Run the line search on merit function phi(alpha).
 
-    merit_full(alpha) -> (phi, dphi); merit_value(alpha) -> phi (used by
-    the backtracking fallback, which needs no derivative —
-    linesearch.cpp:385-412).
+    merit_full(alpha) -> (phi, dphi) or (phi, dphi, aux);
+    merit_value(alpha) -> phi (used by the backtracking fallback, which
+    needs no derivative — linesearch.cpp:385-412).
+
+    When merit_full returns a third element (any pytree), pass a
+    structurally matching `aux0`; the payload of the LAST full evaluation
+    is carried and returned (`result.aux`, valid at `result.aux_alpha`) —
+    lets the caller reuse the trajectory data of the accepted step
+    instead of re-evaluating the merit function.
     """
     dtype = jnp.asarray(phi0).dtype
     if not jnp.issubdtype(dtype, jnp.floating):
@@ -174,10 +185,15 @@ def wolfe_line_search(
     z = jnp.asarray(0.0, dtype)
     i0 = jnp.asarray(0, jnp.int32)
 
+    has_aux = aux0 is not None
+    aux_init = aux0 if has_aux else ()
+
     def mk_state(**kw):
         base = dict(
             mode=jnp.asarray(_BRACKET, jnp.int32),
             alpha_next=alpha0,
+            aux=aux_init,
+            aux_alpha=jnp.asarray(jnp.nan, dtype),
             small_window=jnp.asarray(False),
             n_iters=i0,
             iter=i0,
@@ -461,16 +477,27 @@ def wolfe_line_search(
     def body(s):
         # One merit evaluation per loop iteration; the backtracking stage
         # skips the derivative (linesearch.cpp:395 passes nullptr).
-        def eval_full(alpha):
-            phi_t, dphi_t = merit_full(alpha)
-            return jnp.asarray(phi_t, dtype), jnp.asarray(dphi_t, dtype)
+        def eval_full(s):
+            out = merit_full(s.alpha_next)
+            if has_aux:
+                phi_t, dphi_t, aux_t = out
+            else:
+                phi_t, dphi_t = out
+                aux_t = ()
+            return (
+                jnp.asarray(phi_t, dtype),
+                jnp.asarray(dphi_t, dtype),
+                aux_t,
+                s.alpha_next,
+            )
 
-        def eval_value(alpha):
-            return jnp.asarray(merit_value(alpha), dtype), z
+        def eval_value(s):
+            return jnp.asarray(merit_value(s.alpha_next), dtype), z, s.aux, s.aux_alpha
 
-        phi_t, dphi_t = jax.lax.cond(
-            s.mode == _BACKTRACK, eval_value, eval_full, s.alpha_next
+        phi_t, dphi_t, aux_t, aux_alpha_t = jax.lax.cond(
+            s.mode == _BACKTRACK, eval_value, eval_full, s
         )
+        s = s._replace(aux=aux_t, aux_alpha=aux_alpha_t)
         return jax.lax.switch(
             s.mode,
             [bracket_step, cubic_step, zoom_step, backtrack_step],
@@ -494,4 +521,6 @@ def wolfe_line_search(
         dphi=final.res_dphi,
         code=final.code,
         n_iters=final.n_iters,
+        aux=final.aux,
+        aux_alpha=final.aux_alpha,
     )

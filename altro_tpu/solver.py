@@ -244,12 +244,13 @@ def merit_function(
 # ---------------------------------------------------------------------------
 
 
-def al_expansions(problem: Problem, x, u, z, rho):
-    """Per-knot AL cost expansion + dynamics expansion at a trajectory.
+def _expansions_and_cost(problem: Problem, x, u, z, rho):
+    """Per-knot AL expansion + dynamics expansion + total AL cost at a
+    trajectory, vmapped over the knot axis.
 
     Parity: CalcExpansions / CalcCostGradient / CalcDynamicsExpansion
-    (solver.cpp:176-201) — vmapped over the knot axis.
-    Returns (A, B, lx, lu, lxx, luu, lux).
+    (solver.cpp:176-201) plus CalcCost (solver.cpp:163-174) in one pass.
+    Returns (A, B, lx, lu, lxx, luu, lux, al_cost_total).
     """
     N = problem.N
     ks = jnp.arange(N, dtype=jnp.int32)
@@ -260,14 +261,46 @@ def al_expansions(problem: Problem, x, u, z, rho):
         lx, lu = al.al_grad(problem, k, x_k, u_k, z_k, rho, terminal=False)
         lxx, luu, lux = al.al_hess(problem, k, x_k, u_k, z_k, rho, terminal=False)
         A_k, B_k = problem.dyn_expansion(k, x_k, u_k)
-        return A_k, B_k, lx, lu, lxx, luu, lux
+        cost_k, _, _ = al.al_cost(problem, k, x_k, u_k, z_k, rho, terminal=False)
+        return A_k, B_k, lx, lu, lxx, luu, lux, cost_k
 
-    A, B, lx_st, lu, lxx_st, luu, lux = jax.vmap(stage)(ks, x[:N], u, z_stage)
+    A, B, lx_st, lu, lxx_st, luu, lux, cost_st = jax.vmap(stage)(ks, x[:N], u, z_stage)
     lx_N, _ = al.al_grad(problem, N, x[N], None, z_term, rho, terminal=True)
     lxx_N, _, _ = al.al_hess(problem, N, x[N], None, z_term, rho, terminal=True)
+    cost_N, _, _ = al.al_cost(problem, N, x[N], None, z_term, rho, terminal=True)
     lx = jnp.concatenate([lx_st, lx_N[None]], axis=0)
     lxx = jnp.concatenate([lxx_st, lxx_N[None]], axis=0)
-    return A, B, lx, lu, lxx, luu, lux
+    return A, B, lx, lu, lxx, luu, lux, jnp.sum(cost_st) + cost_N
+
+
+def al_expansions(problem: Problem, x, u, z, rho):
+    """Per-knot AL cost expansion + dynamics expansion at a trajectory.
+
+    Returns (A, B, lx, lu, lxx, luu, lux).
+    """
+    return _expansions_and_cost(problem, x, u, z, rho)[:7]
+
+
+def merit0_derivative(A, B, K, d, lx, lu):
+    """dphi/dalpha at alpha = 0 from cached expansion data.
+
+    At alpha = 0 the merit trajectory coincides with the reference
+    trajectory (the reference was produced by the same closed-loop
+    rollout), so the forward-sensitivity recurrence of
+    MeritFunction (solver.cpp:303-315) only needs the cached A, B, lx,
+    lu — a cheap linear scan with no dynamics/constraint evaluations.
+    """
+    N = A.shape[0]
+    dx0 = jnp.zeros((A.shape[1],), A.dtype)
+
+    def step(dx_da, inp):
+        A_k, B_k, K_k, d_k, lx_k, lu_k = inp
+        du_da = -(K_k @ dx_da) + d_k
+        contrib = jnp.dot(lx_k, dx_da) + jnp.dot(lu_k, du_da)
+        return A_k @ dx_da + B_k @ du_da, contrib
+
+    dx_da_N, contribs = jax.lax.scan(step, dx0, (A, B, K, d, lx[:N], lu))
+    return jnp.sum(contribs) + jnp.dot(lx[N], dx_da_N)
 
 
 def stationarity(A, B, lx, lu, y):
@@ -440,20 +473,28 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         return jnp.logical_and(jnp.logical_not(c.stop), c.iter < opts.iterations_max)
 
     def body(c: _Carry):
-        # 1. AL + dynamics expansions at the reference trajectory
-        A, B, lx, lu, lxx, luu, lux = al_expansions(problem, c.x, c.u, c.z, c.rho)
+        # 1. AL + dynamics expansions (+ AL cost = phi(0)) at the
+        #    reference trajectory
+        A, B, lx, lu, lxx, luu, lux, phi0 = _expansions_and_cost(
+            problem, c.x, c.u, c.z, c.rho
+        )
 
         # 2. Riccati backward pass with adaptive regularization
         gains, reg_used = backward_adaptive(opts, A, B, lxx, luu, lux, lx, lu, c.reg)
         bp_failed = jnp.logical_not(gains.ok)
 
-        # 3. Merit function at alpha = 0 (value + derivative)
+        # 3. Merit derivative at alpha = 0 from cached expansions (the
+        #    alpha = 0 trajectory IS the reference trajectory, so no
+        #    nonlinear rollout is needed — numerically identical to
+        #    MeritFunction(0), solver.cpp:273-355)
+        dphi0 = merit0_derivative(A, B, gains.K, gains.d, lx, lu)
+
         def merit_full(alpha):
             out = merit_function(
                 problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p, c.z, c.rho,
                 alpha, problem.x0, with_derivative=True,
             )
-            return out.phi, out.dphi
+            return out.phi, out.dphi, out
 
         def merit_value(alpha):
             out = merit_function(
@@ -462,11 +503,14 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             )
             return out.phi
 
-        phi0, dphi0 = merit_full(jnp.asarray(0.0, dtype))
-
-        # 4. Line search (solver.cpp:237-271)
+        # 4. Line search (solver.cpp:237-271); the payload of its last
+        #    full evaluation is carried so the accepted step's trajectory
+        #    data need not be recomputed
         grad_small = jnp.abs(dphi0) < opts.tol_meritfun_gradient
-        ls = wolfe_line_search(merit_full, merit_value, phi0, dphi0, 1.0, ls_opts)
+        aux0 = _zero_merit_out(problem, c, A, B, dtype)
+        ls = wolfe_line_search(
+            merit_full, merit_value, phi0, dphi0, 1.0, ls_opts, aux0=aux0
+        )
         alpha = jnp.where(grad_small, 0.0, ls.alpha)
         ls_ok = jnp.logical_or(
             ls.code == int(LineSearchCode.MINIMUM_FOUND),
@@ -477,11 +521,17 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             jnp.logical_or(jnp.isnan(alpha), jnp.logical_not(ls_ok)),
         )
 
-        # 5. Final merit evaluation at the accepted step: candidate
-        #    trajectory + all expansion data for the next iteration
-        m = merit_function(
-            problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p, c.z, c.rho,
-            alpha, problem.x0, with_derivative=True,
+        # 5. Data at the accepted step: reuse the line search's last full
+        #    evaluation when it was at exactly alpha; otherwise (alpha=0
+        #    short-circuit, backtracked steps — which the reference also
+        #    recomputes, solver.cpp:256-262) evaluate once.
+        m = jax.lax.cond(
+            ls.aux_alpha == alpha,
+            lambda: ls.aux,
+            lambda: merit_function(
+                problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p, c.z, c.rho,
+                alpha, problem.x0, with_derivative=True,
+            ),
         )
 
         # 6. Optimality criteria at the candidate (solver.cpp:456-469)
@@ -585,6 +635,26 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         dphi=final.dphi,
     )
     return new_state, stats
+
+
+def _zero_merit_out(problem: Problem, c: "_Carry", A, B, dtype) -> MeritOut:
+    """Structural placeholder for the line search's aux carry (never used:
+    aux_alpha starts at NaN, so the cond falls back to a real evaluation
+    until a full merit eval overwrites it)."""
+    zero = jnp.asarray(0.0, dtype)
+    return MeritOut(
+        phi=zero,
+        dphi=zero,
+        x=jnp.zeros_like(c.x),
+        u=jnp.zeros_like(c.u),
+        y=jnp.zeros_like(c.y),
+        A=jnp.zeros_like(A),
+        B=jnp.zeros_like(B),
+        lx=jnp.zeros_like(c.x),
+        lu=jnp.zeros_like(c.u),
+        convals=tuple(jnp.zeros_like(cv) for cv in c.convals),
+        zproj=tuple(jnp.zeros_like(cv) for cv in c.convals),
+    )
 
 
 def _trajectory_convals(problem: Problem, x, u):
