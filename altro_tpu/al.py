@@ -23,6 +23,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from altro_tpu import cones
+from altro_tpu.ops.smallmat import mm, mtm, mtv, mv
 from altro_tpu.problem import Problem
 
 __all__ = [
@@ -93,11 +94,11 @@ def al_grad(problem: Problem, k, x, u, z, rho, terminal: bool):
         dual = cones.dual_cone(spec.cone)
         Jc = spec.jacobian(x, u, k)  # [p, n+m]
         Pj = cones.project_jacobian(dual, ze)  # [p, p]
-        jvp = Pj.T @ zp
+        jvp = mtv(Pj, zp)
         active = spec.active[k]
-        lx = lx - jnp.where(active, Jc[:, :n].T @ jvp, 0.0)
+        lx = lx - jnp.where(active, mtv(Jc[:, :n], jvp), 0.0)
         if not terminal:
-            lu = lu - jnp.where(active, Jc[:, n:].T @ jvp, 0.0)
+            lu = lu - jnp.where(active, mtv(Jc[:, n:], jvp), 0.0)
     return lx, lu
 
 
@@ -121,11 +122,11 @@ def al_hess(problem: Problem, k, x, u, z, rho, terminal: bool):
         dual = cones.dual_cone(spec.cone)
         Jc = spec.jacobian(x, u, k)
         Pj = cones.project_jacobian(dual, ze)
-        Jt = Pj @ Jc  # [p, n+m]
-        Hc = rho * (Jt.T @ Jt)
+        Jt = mm(Pj, Jc)  # [p, n+m]
+        Hc = rho * mtm(Jt, Jt)
         if not cones.cone_is_linear(dual):
             Hp = cones.project_hessian(dual, ze, zp)  # [p, p]
-            Hc = Hc + rho * (Jc.T @ (Hp @ Jc))
+            Hc = Hc + rho * mtm(Jc, mm(Hp, Jc))
         active = spec.active[k]
         lxx = lxx + jnp.where(active, Hc[:n, :n], 0.0)
         if not terminal:

@@ -475,29 +475,21 @@ def wolfe_line_search(
         return s.mode != _DONE
 
     def body(s):
-        # One merit evaluation per loop iteration; the backtracking stage
-        # skips the derivative (linesearch.cpp:395 passes nullptr).
-        def eval_full(s):
-            out = merit_full(s.alpha_next)
-            if has_aux:
-                phi_t, dphi_t, aux_t = out
-            else:
-                phi_t, dphi_t = out
-                aux_t = ()
-            return (
-                jnp.asarray(phi_t, dtype),
-                jnp.asarray(dphi_t, dtype),
-                aux_t,
-                s.alpha_next,
-            )
-
-        def eval_value(s):
-            return jnp.asarray(merit_value(s.alpha_next), dtype), z, s.aux, s.aux_alpha
-
-        phi_t, dphi_t, aux_t, aux_alpha_t = jax.lax.cond(
-            s.mode == _BACKTRACK, eval_value, eval_full, s
-        )
-        s = s._replace(aux=aux_t, aux_alpha=aux_alpha_t)
+        # One merit evaluation per loop iteration. Always evaluated WITH
+        # the derivative: under vmap both branches of a value/full cond
+        # would execute anyway (batched predicates become selects), so a
+        # single full evaluation is strictly cheaper in the batched
+        # regime — and it keeps the aux payload valid for every mode,
+        # including backtracking. phi values (and hence the search path)
+        # are identical to the reference's value-only backtracking evals.
+        out = merit_full(s.alpha_next)
+        if has_aux:
+            phi_t, dphi_t, aux_t = out
+        else:
+            (phi_t, dphi_t), aux_t = out[:2], ()
+        phi_t = jnp.asarray(phi_t, dtype)
+        dphi_t = jnp.asarray(dphi_t, dtype)
+        s = s._replace(aux=aux_t, aux_alpha=s.alpha_next)
         return jax.lax.switch(
             s.mode,
             [bracket_step, cubic_step, zoom_step, backtrack_step],

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from altro_tpu import al
 from altro_tpu import cones
+from altro_tpu.ops.smallmat import mm, mtm, mtv, mv
 from altro_tpu.linesearch import LineSearchOptions, wolfe_line_search
 from altro_tpu.options import SolverOptions, Verbosity
 from altro_tpu.problem import Problem
@@ -191,16 +192,16 @@ def merit_function(
         x_k, dx_da, phi, dphi = carry
         k, xr, ur, K_k, d_k, P_k, p_k, z_k = inp
         dx = x_k - xr
-        du = -(K_k @ dx) + alpha * d_k
+        du = -mv(K_k, dx) + alpha * d_k
         u_k = ur + du
-        y_k = P_k @ dx + p_k
+        y_k = mv(P_k, dx) + p_k
         x_next = problem.dyn_step(k, x_k, u_k)
         cost_k, convals_k, zproj_k = al.al_cost(problem, k, x_k, u_k, z_k, rho, terminal=False)
         phi = phi + cost_k
         if with_derivative:
             A_k, B_k = problem.dyn_expansion(k, x_k, u_k)
-            du_da = -(K_k @ dx_da) + d_k
-            dx_da_next = A_k @ dx_da + B_k @ du_da
+            du_da = -mv(K_k, dx_da) + d_k
+            dx_da_next = mv(A_k, dx_da) + mv(B_k, du_da)
             lx_k, lu_k = al.al_grad(problem, k, x_k, u_k, z_k, rho, terminal=False)
             dphi = dphi + jnp.dot(lx_k, dx_da) + jnp.dot(lu_k, du_da)
         else:
@@ -220,7 +221,7 @@ def merit_function(
     # Terminal knot point (solver.cpp:318-332)
     cost_N, convals_N, zproj_N = al.al_cost(problem, N, x_N, None, z_term, rho, terminal=True)
     phi = phi + cost_N
-    y_N = P[N] @ (x_N - ref_x[N]) + p[N]
+    y_N = mv(P[N], x_N - ref_x[N]) + p[N]
     if with_derivative:
         lx_N, _ = al.al_grad(problem, N, x_N, None, z_term, rho, terminal=True)
         dphi = dphi + jnp.dot(lx_N, dx_da_N)
@@ -295,9 +296,9 @@ def merit0_derivative(A, B, K, d, lx, lu):
 
     def step(dx_da, inp):
         A_k, B_k, K_k, d_k, lx_k, lu_k = inp
-        du_da = -(K_k @ dx_da) + d_k
+        du_da = -mv(K_k, dx_da) + d_k
         contrib = jnp.dot(lx_k, dx_da) + jnp.dot(lu_k, du_da)
-        return A_k @ dx_da + B_k @ du_da, contrib
+        return mv(A_k, dx_da) + mv(B_k, du_da), contrib
 
     dx_da_N, contribs = jax.lax.scan(step, dx0, (A, B, K, d, lx[:N], lu))
     return jnp.sum(contribs) + jnp.dot(lx[N], dx_da_N)
@@ -306,8 +307,8 @@ def merit0_derivative(A, B, K, d, lx, lu):
 def stationarity(A, B, lx, lu, y):
     """max-norm KKT stationarity residual. Parity: solver.cpp:207-222."""
     N = A.shape[0]
-    res_x = lx[:N] + jnp.einsum("kij,ki->kj", A, y[1:]) - y[:N]
-    res_u = lu + jnp.einsum("kij,ki->kj", B, y[1:])
+    res_x = lx[:N] + mtv(A, y[1:]) - y[:N]
+    res_u = lu + mtv(B, y[1:])
     res_term = lx[N] - y[N]
     return jnp.maximum(
         jnp.maximum(jnp.max(jnp.abs(res_x)), jnp.max(jnp.abs(res_u))),
@@ -496,20 +497,13 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             )
             return out.phi, out.dphi, out
 
-        def merit_value(alpha):
-            out = merit_function(
-                problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p, c.z, c.rho,
-                alpha, problem.x0, with_derivative=False,
-            )
-            return out.phi
-
         # 4. Line search (solver.cpp:237-271); the payload of its last
-        #    full evaluation is carried so the accepted step's trajectory
-        #    data need not be recomputed
+        #    evaluation is carried so the accepted step's trajectory data
+        #    need not be recomputed
         grad_small = jnp.abs(dphi0) < opts.tol_meritfun_gradient
-        aux0 = _zero_merit_out(problem, c, A, B, dtype)
+        aux0 = _alpha0_merit_out(problem, c, A, B, lx, lu, gains, phi0, dphi0)
         ls = wolfe_line_search(
-            merit_full, merit_value, phi0, dphi0, 1.0, ls_opts, aux0=aux0
+            merit_full, None, phi0, dphi0, 1.0, ls_opts, aux0=aux0
         )
         alpha = jnp.where(grad_small, 0.0, ls.alpha)
         ls_ok = jnp.logical_or(
@@ -521,17 +515,21 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             jnp.logical_or(jnp.isnan(alpha), jnp.logical_not(ls_ok)),
         )
 
-        # 5. Data at the accepted step: reuse the line search's last full
-        #    evaluation when it was at exactly alpha; otherwise (alpha=0
-        #    short-circuit, backtracked steps — which the reference also
-        #    recomputes, solver.cpp:256-262) evaluate once.
-        m = jax.lax.cond(
+        # 5. Data at the accepted step. On every success path the line
+        #    search's last evaluation IS at the returned alpha (verified
+        #    by construction: MINIMUM_FOUND / WINDOW_TOO_SMALL /
+        #    HIT_MAX_STEPSIZE all return the just-evaluated step), so its
+        #    carried payload is exactly merit(alpha) — no recompute. The
+        #    alpha = 0 payload (gradient-too-small short-circuit and all
+        #    failure paths, which stop the solve) is assembled from the
+        #    cached expansion data: the alpha = 0 trajectory IS the
+        #    reference trajectory (cf. MeritFunction(0), solver.cpp:273).
+        use_ls_payload = jnp.logical_and(
+            jnp.logical_and(ls_ok, jnp.logical_not(grad_small)),
             ls.aux_alpha == alpha,
-            lambda: ls.aux,
-            lambda: merit_function(
-                problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p, c.z, c.rho,
-                alpha, problem.x0, with_derivative=True,
-            ),
+        )
+        m = jax.tree.map(
+            lambda a, b: jnp.where(use_ls_payload, a, b), ls.aux, aux0
         )
 
         # 6. Optimality criteria at the candidate (solver.cpp:456-469)
@@ -637,23 +635,34 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
     return new_state, stats
 
 
-def _zero_merit_out(problem: Problem, c: "_Carry", A, B, dtype) -> MeritOut:
-    """Structural placeholder for the line search's aux carry (never used:
-    aux_alpha starts at NaN, so the cond falls back to a real evaluation
-    until a full merit eval overwrites it)."""
-    zero = jnp.asarray(0.0, dtype)
+def _alpha0_merit_out(problem: Problem, c: "_Carry", A, B, lx, lu, gains, phi0, dphi0) -> MeritOut:
+    """merit(0) assembled from cached data, no rollout.
+
+    At alpha = 0 the closed-loop trajectory equals the reference
+    trajectory (du = -K*0 + 0*d), so x/u/constraint values are the cached
+    ones, the TVLQR dual estimate is y = P*0 + p = p, and the AL
+    gradients/dynamics expansions are the loop-top expansions. Projected
+    duals are one vmapped cone projection per group.
+    """
+    z_est = tuple(
+        zj - c.rho * cj for zj, cj in zip(c.z, c.convals)
+    )
+    zproj = tuple(
+        jax.vmap(lambda ze: cones.project(cones.dual_cone(spec.cone), ze))(ze)
+        for spec, ze in zip(problem.constraints, z_est)
+    )
     return MeritOut(
-        phi=zero,
-        dphi=zero,
-        x=jnp.zeros_like(c.x),
-        u=jnp.zeros_like(c.u),
-        y=jnp.zeros_like(c.y),
-        A=jnp.zeros_like(A),
-        B=jnp.zeros_like(B),
-        lx=jnp.zeros_like(c.x),
-        lu=jnp.zeros_like(c.u),
-        convals=tuple(jnp.zeros_like(cv) for cv in c.convals),
-        zproj=tuple(jnp.zeros_like(cv) for cv in c.convals),
+        phi=phi0,
+        dphi=dphi0,
+        x=c.x,
+        u=c.u,
+        y=gains.p,
+        A=A,
+        B=B,
+        lx=lx,
+        lu=lu,
+        convals=c.convals,
+        zproj=zproj,
     )
 
 

@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from altro_tpu.ops.smallmat import mm, mtm, mtv, mv, psd_solve_small
+
 __all__ = [
     "TVLQRGains",
     "tvlqr_backward",
@@ -85,31 +87,28 @@ def tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg=0.0) -> TVLQRGains:
         P_next, p_next = carry
         A_k, B_k, f_k, lxx_k, luu_k, lux_k, lx_k, lu_k = inputs
 
-        AtP = A_k.T @ P_next
-        BtP = B_k.T @ P_next
-        Qxx = lxx_k + AtP @ A_k
-        Quu = luu_k + BtP @ B_k
-        Qux = lux_k + BtP @ A_k
-        t = P_next @ f_k + p_next
-        Qx = lx_k + A_k.T @ t
-        Qu = lu_k + B_k.T @ t
+        AtP = mtm(A_k, P_next)
+        BtP = mtm(B_k, P_next)
+        Qxx = lxx_k + mm(AtP, A_k)
+        Quu = luu_k + mm(BtP, B_k)
+        Qux = lux_k + mm(BtP, A_k)
+        t = mv(P_next, f_k) + p_next
+        Qx = lx_k + mtv(A_k, t)
+        Qu = lu_k + mtv(B_k, t)
 
         Quu_reg = Quu + reg * jnp.eye(m, dtype=dtype)
-        chol = jnp.linalg.cholesky(Quu_reg)
-        ok_k = jnp.all(jnp.isfinite(chol))
-        chol_safe = jnp.where(ok_k, chol, jnp.eye(m, dtype=dtype))
+        sol, ok_k = psd_solve_small(
+            Quu_reg, jnp.concatenate([Qux, -Qu[:, None]], axis=1)
+        )
+        K_k = jnp.where(ok_k, sol[:, :n], 0.0)
+        d_k = jnp.where(ok_k, sol[:, n], 0.0)
 
-        K_k = _psd_solve(chol_safe, Qux)
-        d_k = _psd_solve(chol_safe, -Qu)
-        K_k = jnp.where(ok_k, K_k, 0.0)
-        d_k = jnp.where(ok_k, d_k, 0.0)
+        QuuK = mm(Quu, K_k)
+        KtQux = mtm(K_k, Qux)
+        P_k = Qxx + mtm(QuuK, K_k) - KtQux - jnp.swapaxes(KtQux, -1, -2)
+        p_k = Qx - mtv(QuuK, d_k) - mtv(K_k, Qu) + mtv(Qux, d_k)
 
-        QuuK = Quu @ K_k
-        KtQux = K_k.T @ Qux
-        P_k = Qxx + QuuK.T @ K_k - KtQux - KtQux.T
-        p_k = Qx - QuuK.T @ d_k - K_k.T @ Qu + Qux.T @ d_k
-
-        dV_k = jnp.stack([jnp.dot(d_k, Qu), 0.5 * jnp.dot(d_k, Quu @ d_k)])
+        dV_k = jnp.stack([jnp.dot(d_k, Qu), 0.5 * jnp.dot(d_k, mv(Quu, d_k))])
         return (P_k, p_k), (K_k, d_k, P_k, p_k, dV_k, ok_k)
 
     inputs = (A, B, f, lxx[:N], luu, lux, lx[:N], lu)
@@ -219,12 +218,9 @@ def tvlqr_backward_associative(A, B, f, lxx, luu, lux, lx, lu, reg=0.0) -> TVLQR
 
     def stage_element(A_k, B_k, f_k, Q_k, R_k, H_k, q_k, r_k):
         R_reg = R_k + reg * eye_m
-        chol = jnp.linalg.cholesky(R_reg)
-        ok = jnp.all(jnp.isfinite(chol))
-        chol_safe = jnp.where(ok, chol, eye_m)
         # R^-1 [H, r, B^T]
         rhs = jnp.concatenate([H_k, r_k[:, None], B_k.T], axis=1)
-        sol = _psd_solve(chol_safe, rhs)
+        sol, ok = psd_solve_small(R_reg, rhs)
         RiH = sol[:, :n]
         Rir = sol[:, n]
         RiBt = sol[:, n + 1 :]
@@ -267,11 +263,11 @@ def tvlqr_backward_associative(A, B, f, lxx, luu, lux, lx, lu, reg=0.0) -> TVLQR
         Qux = H_k + BtP @ A_k
         t = P_next @ f_k + p_next
         Qu = r_k + B_k.T @ t
-        chol = jnp.linalg.cholesky(Quu + reg * eye_m)
-        ok = jnp.all(jnp.isfinite(chol))
-        chol_safe = jnp.where(ok, chol, eye_m)
-        K_k = jnp.where(ok, _psd_solve(chol_safe, Qux), 0.0)
-        d_k = jnp.where(ok, _psd_solve(chol_safe, -Qu), 0.0)
+        sol, ok = psd_solve_small(
+            Quu + reg * eye_m, jnp.concatenate([Qux, -Qu[:, None]], axis=1)
+        )
+        K_k = jnp.where(ok, sol[:, :n], 0.0)
+        d_k = jnp.where(ok, sol[:, n], 0.0)
         dV_k = jnp.stack([jnp.dot(d_k, Qu), 0.5 * jnp.dot(d_k, Quu @ d_k)])
         return K_k, d_k, dV_k, ok
 
