@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from altro_tpu import al
 from altro_tpu import cones
 from altro_tpu.ops.smallmat import mm, mtm, mtv, mv
+from altro_tpu.tvlqr import _unroll
 from altro_tpu.linesearch import LineSearchOptions, wolfe_line_search
 from altro_tpu.options import SolverOptions, Verbosity
 from altro_tpu.problem import Problem
@@ -140,7 +141,7 @@ def open_loop_rollout(problem: Problem, u: jnp.ndarray, x0: Optional[jnp.ndarray
         return x_next, x_k
 
     ks = jnp.arange(problem.N, dtype=jnp.int32)
-    x_N, x_stack = jax.lax.scan(step, x0, (ks, u))
+    x_N, x_stack = jax.lax.scan(step, x0, (ks, u), unroll=_unroll(problem.N))
     return jnp.concatenate([x_stack, x_N[None]], axis=0)
 
 
@@ -215,7 +216,7 @@ def merit_function(
 
     init = (x0, jnp.zeros((n,), dtype), jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
     xs = (ks, ref_x[:N], ref_u, K, d, P[:N], p[:N], z_stage)
-    (x_N, dx_da_N, phi, dphi), outs = jax.lax.scan(step, init, xs)
+    (x_N, dx_da_N, phi, dphi), outs = jax.lax.scan(step, init, xs, unroll=_unroll(N))
     (x_st, u, y_st, A, B, lx_st, lu, convals_st, zproj_st) = outs
 
     # Terminal knot point (solver.cpp:318-332)
@@ -300,7 +301,9 @@ def merit0_derivative(A, B, K, d, lx, lu):
         contrib = jnp.dot(lx_k, dx_da) + jnp.dot(lu_k, du_da)
         return mv(A_k, dx_da) + mv(B_k, du_da), contrib
 
-    dx_da_N, contribs = jax.lax.scan(step, dx0, (A, B, K, d, lx[:N], lu))
+    dx_da_N, contribs = jax.lax.scan(
+        step, dx0, (A, B, K, d, lx[:N], lu), unroll=_unroll(N)
+    )
     return jnp.sum(contribs) + jnp.dot(lx[N], dx_da_N)
 
 

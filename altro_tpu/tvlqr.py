@@ -26,6 +26,15 @@ import jax.numpy as jnp
 
 from altro_tpu.ops.smallmat import mm, mtm, mtv, mv, psd_solve_small
 
+
+def _unroll(N: int) -> int:
+    """Scan unroll factor: amortize loop bookkeeping over several tiny
+    step bodies (the per-knot blocks are far below TPU op granularity)."""
+    for k in (6, 5, 4, 3, 2):
+        if N % k == 0:
+            return k
+    return 1
+
 __all__ = [
     "TVLQRGains",
     "tvlqr_backward",
@@ -113,7 +122,7 @@ def tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg=0.0) -> TVLQRGains:
 
     inputs = (A, B, f, lxx[:N], luu, lux, lx[:N], lu)
     (_, _), (K, d, P_stack, p_stack, dV_all, ok_all) = jax.lax.scan(
-        step, (P_term, p_term), inputs, reverse=True
+        step, (P_term, p_term), inputs, reverse=True, unroll=_unroll(N)
     )
 
     P = jnp.concatenate([P_stack, P_term[None]], axis=0)
@@ -146,7 +155,7 @@ def tvlqr_forward(A, B, f, K, d, P, p, x0):
         return x_next, (x_k, u_k, y_k)
 
     x_N, (x_stack, u, y_stack) = jax.lax.scan(
-        step, x0, (A, B, f, K, d, P[:N], p[:N])
+        step, x0, (A, B, f, K, d, P[:N], p[:N]), unroll=_unroll(N)
     )
     x = jnp.concatenate([x_stack, x_N[None]], axis=0)
     y = jnp.concatenate([y_stack, (P[N] @ x_N + p[N])[None]], axis=0)
