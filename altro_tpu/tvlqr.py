@@ -29,9 +29,13 @@ from altro_tpu.ops.smallmat import mm, mtm, mtv, mv, psd_solve_small
 
 def _unroll(N: int) -> int:
     """Scan unroll factor: amortize loop bookkeeping over several tiny
-    step bodies (the per-knot blocks are far below TPU op granularity)."""
+    step bodies (the per-knot blocks are far below TPU op granularity).
+    Cap with ALTRO_SCAN_UNROLL (e.g. 1 for fast compiles in test suites)."""
+    import os
+
+    cap = int(os.environ.get("ALTRO_SCAN_UNROLL", "6"))
     for k in (6, 5, 4, 3, 2):
-        if N % k == 0:
+        if k <= cap and N % k == 0:
             return k
     return 1
 

@@ -13,6 +13,8 @@ real TPU backend instead.
 
 import os
 
+os.environ.setdefault("ALTRO_SCAN_UNROLL", "1")  # fast compiles; perf-neutral for correctness
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -21,3 +23,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: repeat suite runs skip XLA compilation.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_altro_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
