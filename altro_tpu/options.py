@@ -56,7 +56,7 @@ class SolverOptions:
     reg_initial: float = 0.0
     reg_min: float = 1e-8
     reg_scaling: float = 10.0
-    reg_max_retries: int = 8
+    reg_max_retries: int = 12
 
     # TPU execution strategy
     parallel_riccati: bool = False  # lax.associative_scan backward pass

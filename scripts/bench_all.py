@@ -1,0 +1,165 @@
+"""All BASELINE.json benchmark configs, one JSON line each.
+
+Configs (BASELINE.json "configs"):
+  1. double integrator, goal constraint, N=100 — cold-solve latency
+  2. pendulum swing-up (nonlinear + torque bounds, full AL stack)
+  3. kinematic bicycle path tracking with steering bounds (Scotty window)
+  4. scotty long horizon: full-trajectory solve, N=500
+  5. scotty receding-horizon MPC, batched warm-started resolves
+     (the headline — same as bench.py)
+
+Usage: python scripts/bench_all.py            (TPU if reachable)
+       ALTRO_BENCH_PLATFORM=cpu python scripts/bench_all.py
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from bench import pick_platform
+
+
+def main():
+    platform = pick_platform()
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from altro_tpu.cones import Cone
+    from altro_tpu.io.scotty import load_scotty, synthetic_scotty
+    from altro_tpu.models.bicycle import bicycle_continuous
+    from altro_tpu.models.double_integrator import double_integrator_dynamics
+    from altro_tpu.models.integrators import midpoint
+    from altro_tpu.models.pendulum import pendulum_continuous
+    from altro_tpu.options import SolverOptions
+    from altro_tpu.problem import ConstraintSpec, Problem, lqr_cost_from_reference
+    from altro_tpu.profiling import time_fn
+    from altro_tpu.solver import init_state, solve
+
+    dtype = jnp.float32
+    f32opts = SolverOptions(
+        iterations_max=30, tol_stationarity=1e-3, tol_primal_feasibility=1e-3,
+        throw_errors=False,
+    )
+    results = []
+
+    def run(name, problem, state, opts, extra=None):
+        fn = jax.jit(lambda s: solve(problem, s, opts))
+        stats = time_fn(fn, state, iters=5)
+        _, st = jax.block_until_ready(fn(state))
+        row = {
+            "config": name,
+            "platform": platform,
+            "p50_ms": round(stats["p50_ms"], 3),
+            "iterations": int(st.iterations),
+            "status": int(st.status),
+            "feasibility": float(st.primal_feasibility),
+        }
+        row.update(extra or {})
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # 1. Double integrator, goal constraint, N=100
+    N, dim = 100, 2
+    n, m = 2 * dim, dim
+    xf = jnp.zeros(n)
+    goal = ConstraintSpec(
+        fn=lambda x, u, k: x - xf, cone=Cone.ZERO, dim=n,
+        active=jnp.zeros(N + 1, bool).at[N].set(True), label="goal",
+    )
+    problem = Problem(
+        N=N, n=n, m=m, dynamics=double_integrator_dynamics(dim), dynamics_jac=None,
+        constraints=(goal,),
+        cost=lqr_cost_from_reference(
+            jnp.ones((N + 1, n), dtype), jnp.full((N + 1, m), 1e-2, dtype),
+            jnp.zeros((N + 1, n), dtype), jnp.zeros((N + 1, m), dtype),
+        ),
+        h=jnp.full(N, 0.05, dtype), x0=jnp.asarray([1.0, 2.0, 0.0, 0.0], dtype),
+    )
+    run("double_integrator_goal_N100", problem, init_state(problem),
+        dataclasses.replace(f32opts, penalty_scaling=100.0))
+
+    # 2. Pendulum swing-up with torque bounds
+    N = 50
+    n, m = 2, 1
+    xf = np.array([np.pi, 0.0])
+    Qd = np.concatenate([np.full((N, n), 1e-2), np.full((1, n), 1.0)])
+    torque = ConstraintSpec(
+        fn=lambda x, u, k: jnp.concatenate([u - 8.0, -8.0 - u]),
+        cone=Cone.NEGATIVE_ORTHANT, dim=2 * m,
+        active=jnp.ones(N + 1, bool).at[N].set(False), label="torque bound",
+    )
+    problem = Problem(
+        N=N, n=n, m=m, dynamics=midpoint(pendulum_continuous()), dynamics_jac=None,
+        constraints=(torque,),
+        cost=lqr_cost_from_reference(
+            jnp.asarray(Qd, dtype), jnp.full((N + 1, m), 1e-3, dtype),
+            jnp.asarray(np.tile(xf, (N + 1, 1)), dtype), jnp.zeros((N + 1, m), dtype),
+        ),
+        h=jnp.full(N, np.float32(3.0 / N), dtype), x0=jnp.zeros(n, dtype),
+    )
+    state = init_state(problem)
+    state = dataclasses.replace(state, u=jnp.full_like(state.u, 0.1))
+    run("pendulum_swingup_bounded", problem, state, f32opts)
+
+    # 3/4. Bicycle Scotty tracking, window N=30 and long-horizon N=500
+    try:
+        ref = load_scotty()
+    except FileNotFoundError:
+        ref = synthetic_scotty()
+    h = float(np.float32(ref.tf / ref.N))
+    delta_max = np.deg2rad(60.0)
+    # NOTE: scotty.json is a position-only reference (delta == 0 rows), and
+    # its sharp corners demand >60 deg steering over a full-horizon solve —
+    # the steering-bounded long-horizon problem is infeasible as posed (the
+    # reference never solves it either; it only runs N=30 windows). The
+    # long-horizon config is therefore unconstrained tracking.
+    for name, N in (("bicycle_scotty_window_N30", 30), ("scotty_long_horizon_N500", 500)):
+        steering = ConstraintSpec(
+            fn=lambda x, u, k: jnp.stack([x[3] - delta_max, -delta_max - x[3]]),
+            cone=Cone.NEGATIVE_ORTHANT, dim=2, active=jnp.ones(N + 1, bool),
+            label="steering",
+        )
+        problem = Problem(
+            N=N, n=4, m=2, dynamics=midpoint(bicycle_continuous()), dynamics_jac=None,
+            constraints=(steering,) if N <= 100 else (),
+            cost=lqr_cost_from_reference(
+                jnp.full((N + 1, 4), 1e-2, dtype), jnp.full((N + 1, 2), 1e-3, dtype),
+                jnp.asarray(ref.x[: N + 1], dtype), jnp.asarray(ref.u[: N + 1], dtype),
+            ),
+            h=jnp.full(N, h, dtype), x0=jnp.asarray(ref.x[0], dtype),
+        )
+        state = init_state(problem)
+        state = dataclasses.replace(
+            state,
+            u=jnp.tile(jnp.asarray([ref.u[0][0], 0.0], dtype), (N, 1)),
+            x=jnp.asarray(ref.x[: N + 1], dtype),
+        )
+        # The N=500 full-horizon problem does not converge to tolerance for
+        # ANY solver of this family (the position-only reference is
+        # dynamically inconsistent; objective decreases but stationarity
+        # plateaus, in f64 too). The long-horizon config therefore measures
+        # fixed-iteration throughput: 20 AL-iLQR iterations at N=500.
+        opts_i = dataclasses.replace(
+            f32opts,
+            use_backtracking_linesearch=True,
+            iterations_max=20 if N > 100 else 30,
+        )
+        extra = {"note": "fixed-20-iteration long-horizon throughput"} if N > 100 else None
+        run(name, problem, state, opts_i, extra)
+
+    # 5. Headline batched MPC — delegate to bench.py (same process)
+    import bench
+
+    bench.main()
+
+
+if __name__ == "__main__":
+    main()
