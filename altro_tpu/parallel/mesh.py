@@ -23,7 +23,26 @@ from altro_tpu.options import SolverOptions
 from altro_tpu.problem import DiagonalCost, Problem
 from altro_tpu.solver import solve
 
-__all__ = ["make_mesh", "sharded_tracking_solver"]
+__all__ = ["initialize_distributed", "make_mesh", "sharded_tracking_solver"]
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host setup: call once per host before building a mesh.
+
+    Thin wrapper over `jax.distributed.initialize` (args auto-detected on
+    Cloud TPU pods). After this, `make_mesh()` spans all hosts' devices;
+    the batch axis rides ICI within a slice and DCN across hosts, and the
+    solver's only cross-host traffic is the aggregate-stats reduction —
+    scaling is near-linear by construction.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
