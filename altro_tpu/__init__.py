@@ -48,6 +48,8 @@ from altro_tpu.solver import (
     total_cost,
 )
 from altro_tpu.api import ALL_INDICES, ALTROSolver, LAST_INDEX
-from altro_tpu import al, io, linesearch, models, mpc, parallel
+from altro_tpu.implicit import implicit_dynamics, implicit_midpoint_residual
+from altro_tpu.checkpoint import load_state, save_state
+from altro_tpu import al, checkpoint, io, linesearch, models, mpc, ops, parallel, profiling
 
 __version__ = "0.1.0"
