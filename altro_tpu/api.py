@@ -535,3 +535,18 @@ class ALTROSolver:
 
         self._state = shift_trajectory(self._state)
         return self
+
+    # ------------------------------------------------------------ printing
+
+    def print_state_trajectory(self):
+        """Parity: ALTROSolver::PrintStateTrajectory (altro_solver.cpp:464-470)."""
+        self._require_init()
+        print("STATE TRAJECTORY:")
+        for k in range(self.N + 1):
+            print(f" x[{k:3d}]: " + np.array2string(np.asarray(self._state.x[k]), precision=4))
+
+    def print_input_trajectory(self):
+        self._require_init()
+        print("INPUT TRAJECTORY:")
+        for k in range(self.N):
+            print(f" u[{k:3d}]: " + np.array2string(np.asarray(self._state.u[k]), precision=4))
