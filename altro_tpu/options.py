@@ -62,6 +62,13 @@ class SolverOptions:
     parallel_riccati: bool = False  # lax.associative_scan backward pass
     throw_errors: bool = True  # host API raises on failed solve
 
+    # Host callback fired after every solver iteration with
+    # (iteration, phi, stationarity, feasibility, alpha, rho) — the
+    # reference's declared-but-unimplemented SetCallback
+    # (altro_solver.hpp:404). Runs via jax.debug.callback (async, may
+    # reorder across lanes; for monitoring, not control flow).
+    iteration_callback: object = None
+
     verbose: Verbosity = Verbosity.SILENT
 
     def replace(self, **kw) -> "SolverOptions":

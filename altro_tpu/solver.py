@@ -568,6 +568,10 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         ).astype(jnp.int32)
         stop = jnp.logical_or(converged, jnp.logical_or(ls_failed, bp_failed))
 
+        if opts.iteration_callback is not None:
+            jax.debug.callback(
+                opts.iteration_callback, c.iter, m.phi, stat, feas, alpha, c.rho
+            )
         if opts.verbose >= Verbosity.INNER:
             jax.debug.print(
                 "  iter = {i}, phi = {p0:.6} -> {p:.6}, dphi = {d0:.4} -> {d:.4}, "
