@@ -490,6 +490,11 @@ class ALTROSolver:
     def get_time_step(self, k: int) -> float:
         return float(self._h[k])
 
+    def get_final_time(self) -> float:
+        """Total horizon duration (declared-but-missing in the reference,
+        altro_solver.hpp:421)."""
+        return float(self._h.sum())
+
     def get_horizon_length(self) -> int:
         return self.N
 
