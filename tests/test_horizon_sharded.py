@@ -13,7 +13,7 @@ from altro_tpu.tvlqr import tvlqr_backward
 from test_parallel_riccati import random_lqr
 
 
-@pytest.mark.parametrize("N", [15, 31])  # N+1 divisible by 8
+@pytest.mark.parametrize("N", [15])  # N+1 divisible by 8
 def test_matches_serial(N):
     mesh = make_mesh(8, axis="horizon")
     args = random_lqr(N, n=4, m=2, seed=N)

@@ -41,9 +41,15 @@ def test_vmap_matches_single():
     states = batch_init_state(problem, batch)
     out_states, out_stats = runner(x0s, states)
 
+    solve_one = jax.jit(
+        lambda x0: solve(
+            dataclasses.replace(problem, x0=x0),
+            init_state(dataclasses.replace(problem, x0=x0)),
+            OPTS,
+        )
+    )
     for i in range(batch):
-        prob_i = dataclasses.replace(problem, x0=x0s[i])
-        st_i, stats_i = solve(prob_i, init_state(prob_i), OPTS)
+        st_i, stats_i = solve_one(x0s[i])
         assert int(out_stats.status[i]) == int(stats_i.status) == SolveStatus.SUCCESS
         assert int(out_stats.iterations[i]) == int(stats_i.iterations)
         np.testing.assert_allclose(out_states.x[i], st_i.x, atol=1e-9)
