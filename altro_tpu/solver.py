@@ -246,13 +246,14 @@ def merit_function(
 # ---------------------------------------------------------------------------
 
 
-def _expansions_and_cost(problem: Problem, x, u, z, rho):
-    """Per-knot AL expansion + dynamics expansion + total AL cost at a
-    trajectory, vmapped over the knot axis.
+def _cost_expansions_and_cost(problem: Problem, x, u, z, rho):
+    """Per-knot AL cost expansion + total AL cost at a trajectory, vmapped
+    over the knot axis (dynamics Jacobians handled separately — they only
+    depend on (x, u) and are reused from the accepted merit evaluation).
 
-    Parity: CalcExpansions / CalcCostGradient / CalcDynamicsExpansion
-    (solver.cpp:176-201) plus CalcCost (solver.cpp:163-174) in one pass.
-    Returns (A, B, lx, lu, lxx, luu, lux, al_cost_total).
+    Parity: CalcExpansions / CalcCostGradient (solver.cpp:176-201) plus
+    CalcCost (solver.cpp:163-174) in one pass.
+    Returns (lx, lu, lxx, luu, lux, al_cost_total).
     """
     N = problem.N
     ks = jnp.arange(N, dtype=jnp.int32)
@@ -262,17 +263,30 @@ def _expansions_and_cost(problem: Problem, x, u, z, rho):
     def stage(k, x_k, u_k, z_k):
         lx, lu = al.al_grad(problem, k, x_k, u_k, z_k, rho, terminal=False)
         lxx, luu, lux = al.al_hess(problem, k, x_k, u_k, z_k, rho, terminal=False)
-        A_k, B_k = problem.dyn_expansion(k, x_k, u_k)
         cost_k, _, _ = al.al_cost(problem, k, x_k, u_k, z_k, rho, terminal=False)
-        return A_k, B_k, lx, lu, lxx, luu, lux, cost_k
+        return lx, lu, lxx, luu, lux, cost_k
 
-    A, B, lx_st, lu, lxx_st, luu, lux, cost_st = jax.vmap(stage)(ks, x[:N], u, z_stage)
+    lx_st, lu, lxx_st, luu, lux, cost_st = jax.vmap(stage)(ks, x[:N], u, z_stage)
     lx_N, _ = al.al_grad(problem, N, x[N], None, z_term, rho, terminal=True)
     lxx_N, _, _ = al.al_hess(problem, N, x[N], None, z_term, rho, terminal=True)
     cost_N, _, _ = al.al_cost(problem, N, x[N], None, z_term, rho, terminal=True)
     lx = jnp.concatenate([lx_st, lx_N[None]], axis=0)
     lxx = jnp.concatenate([lxx_st, lxx_N[None]], axis=0)
-    return A, B, lx, lu, lxx, luu, lux, jnp.sum(cost_st) + cost_N
+    return lx, lu, lxx, luu, lux, jnp.sum(cost_st) + cost_N
+
+
+def dynamics_expansions(problem: Problem, x, u):
+    """(A, B) stacks at a trajectory (CalcDynamicsExpansion, vmapped)."""
+    ks = jnp.arange(problem.N, dtype=jnp.int32)
+    return jax.vmap(lambda k, xk, uk: problem.dyn_expansion(k, xk, uk))(
+        ks, x[: problem.N], u
+    )
+
+
+def _expansions_and_cost(problem: Problem, x, u, z, rho):
+    lx, lu, lxx, luu, lux, alc = _cost_expansions_and_cost(problem, x, u, z, rho)
+    A, B = dynamics_expansions(problem, x, u)
+    return A, B, lx, lu, lxx, luu, lux, alc
 
 
 def al_expansions(problem: Problem, x, u, z, rho):
@@ -409,6 +423,8 @@ class _Carry(NamedTuple):
     p: jnp.ndarray
     reg: jnp.ndarray
     convals: Tuple[jnp.ndarray, ...]
+    A: jnp.ndarray  # dynamics expansion at (x, u) — reused across stages
+    B: jnp.ndarray
     iter: jnp.ndarray
     status: jnp.ndarray
     stop: jnp.ndarray
@@ -449,6 +465,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
     rho0 = jnp.asarray(opts.penalty_initial, dtype)
     x_init = open_loop_rollout(problem, state.u)
     convals0 = _trajectory_convals(problem, x_init, state.u)
+    A0, B0 = dynamics_expansions(problem, x_init, state.u)
 
     init = _Carry(
         x=x_init,
@@ -462,6 +479,8 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         p=state.p,
         reg=jnp.asarray(opts.reg_initial, dtype),
         convals=convals0,
+        A=A0,
+        B=B0,
         iter=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(int(SolveStatus.UNSOLVED), jnp.int32),
         stop=jnp.asarray(False),
@@ -477,11 +496,13 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         return jnp.logical_and(jnp.logical_not(c.stop), c.iter < opts.iterations_max)
 
     def body(c: _Carry):
-        # 1. AL + dynamics expansions (+ AL cost = phi(0)) at the
-        #    reference trajectory
-        A, B, lx, lu, lxx, luu, lux, phi0 = _expansions_and_cost(
+        # 1. AL cost expansions (+ AL cost = phi(0)) at the reference
+        #    trajectory; the dynamics Jacobians A, B depend only on
+        #    (x, u) and are reused from the accepted merit evaluation
+        lx, lu, lxx, luu, lux, phi0 = _cost_expansions_and_cost(
             problem, c.x, c.u, c.z, c.rho
         )
+        A, B = c.A, c.B
 
         # 2. Riccati backward pass with adaptive regularization
         gains, reg_used = backward_adaptive(opts, A, B, lxx, luu, lux, lx, lu, c.reg)
@@ -593,6 +614,8 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             p=gains.p,
             reg=reg_used,
             convals=m.convals,
+            A=m.A,
+            B=m.B,
             iter=c.iter + 1,
             status=status,
             stop=stop,
