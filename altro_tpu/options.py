@@ -62,6 +62,13 @@ class SolverOptions:
     parallel_riccati: bool = False  # lax.associative_scan backward pass
     throw_errors: bool = True  # host API raises on failed solve
 
+    # Real-time iteration mode (beyond the reference): run EXACTLY
+    # iterations_max iterations with a full step (alpha = 1), skipping the
+    # line search — the standard real-time MPC scheme for warm-started
+    # resolves where each tick gets one (or a few) Newton-like iterations.
+    # Use with iterations_max=1 for classic RTI.
+    rti_mode: bool = False
+
     # Host callback fired after every solver iteration with
     # (iteration, phi, stationarity, feasibility, alpha, rho) — the
     # reference's declared-but-unimplemented SetCallback

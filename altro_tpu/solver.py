@@ -523,38 +523,48 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
 
         # 4. Line search (solver.cpp:237-271); the payload of its last
         #    evaluation is carried so the accepted step's trajectory data
-        #    need not be recomputed
+        #    need not be recomputed. RTI mode skips the search and takes
+        #    the full step.
         grad_small = jnp.abs(dphi0) < opts.tol_meritfun_gradient
         aux0 = _alpha0_merit_out(problem, c, A, B, lx, lu, gains, phi0, dphi0)
-        ls = wolfe_line_search(
-            merit_full, None, phi0, dphi0, 1.0, ls_opts, aux0=aux0
-        )
-        alpha = jnp.where(grad_small, 0.0, ls.alpha)
-        ls_ok = jnp.logical_or(
-            ls.code == int(LineSearchCode.MINIMUM_FOUND),
-            ls.code == int(LineSearchCode.HIT_MAX_STEPSIZE),
-        )
-        ls_failed = jnp.logical_and(
-            jnp.logical_not(grad_small),
-            jnp.logical_or(jnp.isnan(alpha), jnp.logical_not(ls_ok)),
-        )
+        if opts.rti_mode:
+            one = jnp.asarray(1.0, dtype)
+            _, _, m_rti = merit_full(one)
+            alpha = one
+            ls_failed = jnp.asarray(False)
+            ls_iters = jnp.asarray(1, jnp.int32)
+            m = m_rti
+        else:
+            ls = wolfe_line_search(
+                merit_full, None, phi0, dphi0, 1.0, ls_opts, aux0=aux0
+            )
+            alpha = jnp.where(grad_small, 0.0, ls.alpha)
+            ls_ok = jnp.logical_or(
+                ls.code == int(LineSearchCode.MINIMUM_FOUND),
+                ls.code == int(LineSearchCode.HIT_MAX_STEPSIZE),
+            )
+            ls_failed = jnp.logical_and(
+                jnp.logical_not(grad_small),
+                jnp.logical_or(jnp.isnan(alpha), jnp.logical_not(ls_ok)),
+            )
+            ls_iters = ls.n_iters
 
-        # 5. Data at the accepted step. On every success path the line
-        #    search's last evaluation IS at the returned alpha (verified
-        #    by construction: MINIMUM_FOUND / WINDOW_TOO_SMALL /
-        #    HIT_MAX_STEPSIZE all return the just-evaluated step), so its
-        #    carried payload is exactly merit(alpha) — no recompute. The
-        #    alpha = 0 payload (gradient-too-small short-circuit and all
-        #    failure paths, which stop the solve) is assembled from the
-        #    cached expansion data: the alpha = 0 trajectory IS the
-        #    reference trajectory (cf. MeritFunction(0), solver.cpp:273).
-        use_ls_payload = jnp.logical_and(
-            jnp.logical_and(ls_ok, jnp.logical_not(grad_small)),
-            ls.aux_alpha == alpha,
-        )
-        m = jax.tree.map(
-            lambda a, b: jnp.where(use_ls_payload, a, b), ls.aux, aux0
-        )
+            # 5. Data at the accepted step. On every success path the line
+            #    search's last evaluation IS at the returned alpha (verified
+            #    by construction: MINIMUM_FOUND / WINDOW_TOO_SMALL /
+            #    HIT_MAX_STEPSIZE all return the just-evaluated step), so its
+            #    carried payload is exactly merit(alpha) — no recompute. The
+            #    alpha = 0 payload (gradient-too-small short-circuit and all
+            #    failure paths, which stop the solve) is assembled from the
+            #    cached expansion data: the alpha = 0 trajectory IS the
+            #    reference trajectory (cf. MeritFunction(0), solver.cpp:273).
+            use_ls_payload = jnp.logical_and(
+                jnp.logical_and(ls_ok, jnp.logical_not(grad_small)),
+                ls.aux_alpha == alpha,
+            )
+            m = jax.tree.map(
+                lambda a, b: jnp.where(use_ls_payload, a, b), ls.aux, aux0
+            )
 
         # 6. Optimality criteria at the candidate (solver.cpp:456-469)
         stat = stationarity(m.A, m.B, m.lx, m.lu, m.y)
@@ -599,7 +609,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                 "alpha = {a:.4}, ls_iter = {li}, stat = {s:.4}, feas = {f:.4}, "
                 "rho = {r:.3}, dual update? {du}",
                 i=c.iter, p0=phi0, p=m.phi, d0=dphi0, d=m.dphi, a=alpha,
-                li=ls.n_iters, s=stat, f=feas, r=c.rho, du=do_dual,
+                li=ls_iters, s=stat, f=feas, r=c.rho, du=do_dual,
             )
 
         return _Carry(
@@ -624,7 +634,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             alpha=alpha,
             stat=stat,
             feas=feas,
-            ls_iters=ls.n_iters,
+            ls_iters=ls_iters,
         )
 
     final = jax.lax.while_loop(cond, body, init)

@@ -94,12 +94,14 @@ def main():
         N=N, n=n, m=m, dynamics=dyn, dynamics_jac=None, constraints=(steering,),
         cost=cost0, h=jnp.full(N, h, dtype), x0=jnp.asarray(ref.x[0], dtype),
     )
+    rti = os.environ.get("ALTRO_BENCH_RTI") == "1"
     opts = SolverOptions(
-        iterations_max=10,
+        iterations_max=1 if rti else 10,
         use_backtracking_linesearch=True,
         tol_stationarity=1e-3,
         tol_primal_feasibility=1e-3,
         throw_errors=False,
+        rti_mode=rti,
     )
 
     # Sliding tracking windows (shared across lanes), precomputed on host
@@ -167,7 +169,9 @@ def main():
     per_tick_ms = elapsed / NSIM * 1e3
 
     result = {
-        "metric": "scotty_mpc_warm_resolves_per_s_per_chip",
+        "metric": "scotty_mpc_rti_resolves_per_s_per_chip"
+        if rti
+        else "scotty_mpc_warm_resolves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
