@@ -119,6 +119,9 @@ def tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg=0.0) -> TVLQRGains:
         QuuK = mm(Quu, K_k)
         KtQux = mtm(K_k, Qux)
         P_k = Qxx + mtm(QuuK, K_k) - KtQux - jnp.swapaxes(KtQux, -1, -2)
+        # Symmetrize: roundoff asymmetry compounds over long horizons
+        # (material in f32; below test tolerances in f64)
+        P_k = 0.5 * (P_k + jnp.swapaxes(P_k, -1, -2))
         p_k = Qx - mtv(QuuK, d_k) - mtv(K_k, Qu) + mtv(Qux, d_k)
 
         dV_k = jnp.stack([jnp.dot(d_k, Qu), 0.5 * jnp.dot(d_k, mv(Quu, d_k))])
