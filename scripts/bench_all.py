@@ -155,7 +155,51 @@ def main():
         extra = {"note": "fixed-20-iteration long-horizon throughput"} if N > 100 else None
         run(name, problem, state, opts_i, extra)
 
-    # 5. Headline batched MPC — delegate to bench.py (same process)
+    # 5. Batched quadrotor waypoint resolves (n=12, m=4: bigger blocks)
+    from altro_tpu.models.quadrotor import quadrotor_continuous
+    from altro_tpu.models.integrators import rk4
+    from altro_tpu.parallel.batch import batch_init_state, vmap_solve
+
+    N, n, m = 30, 12, 4
+    Bq = int(os.environ.get("ALTRO_BENCH_QUAD_BATCH", "256"))
+    hover = 0.5 * 9.81 / 4.0
+    xf = np.zeros(n)
+    xf[:3] = [1.0, 0.0, 1.0]
+    Qd = np.tile(
+        np.concatenate([np.full(3, 1.0), np.full(3, 0.1), np.full(6, 0.1)]), (N + 1, 1)
+    )
+    Qd[N] *= 10
+    qproblem = Problem(
+        N=N, n=n, m=m, dynamics=rk4(quadrotor_continuous()), dynamics_jac=None,
+        constraints=(),
+        cost=lqr_cost_from_reference(
+            jnp.asarray(Qd, dtype), jnp.full((N + 1, m), 1e-2, dtype),
+            jnp.asarray(np.tile(xf, (N + 1, 1)), dtype),
+            jnp.full((N + 1, m), hover, dtype),
+        ),
+        h=jnp.full(N, 0.05, dtype), x0=jnp.zeros(n, dtype),
+    )
+    qopts = dataclasses.replace(f32opts, iterations_max=5, rti_mode=False)
+    runner = vmap_solve(qproblem, qopts)
+    key = jax.random.PRNGKey(1)
+    x0s = 0.05 * jax.random.normal(key, (Bq, n), dtype)
+    qstates = batch_init_state(qproblem, Bq)
+    qstates = dataclasses.replace(qstates, u=jnp.full((Bq, N, m), hover, dtype))
+    # Warm the states once, then time warm resolves
+    qstates, _ = jax.block_until_ready(runner(x0s, qstates))
+    tstats = time_fn(runner, x0s, qstates, iters=5)
+    _, qstats = jax.block_until_ready(runner(x0s, qstates))
+    row = {
+        "config": f"quadrotor_batched_resolves_B{Bq}",
+        "platform": platform,
+        "p50_ms": round(tstats["p50_ms"], 3),
+        "solves_per_s": round(Bq / (tstats["p50_ms"] / 1e3), 1),
+        "mean_iterations": round(float(jnp.mean(qstats.iterations)), 2),
+    }
+    results.append(row)
+    print(json.dumps(row), flush=True)
+
+    # 6. Headline batched MPC — delegate to bench.py (same process)
     import bench
 
     bench.main()
