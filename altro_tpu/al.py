@@ -23,7 +23,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from altro_tpu import cones
-from altro_tpu.ops.smallmat import mm, mtm, mtv, mv
+from altro_tpu.ops.smallmat import mm, mtm, mtv
 from altro_tpu.problem import Problem
 
 __all__ = [

@@ -9,9 +9,6 @@ without requiring orbax (which is also supported if installed).
 
 from __future__ import annotations
 
-import dataclasses
-import json
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,8 +13,6 @@ batch — its status is reported per lane).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from altro_tpu.options import SolverOptions
 from altro_tpu.problem import DiagonalCost, Problem

@@ -32,13 +32,13 @@ import jax.numpy as jnp
 
 from altro_tpu import al
 from altro_tpu import cones
-from altro_tpu.ops.smallmat import mm, mtm, mtv, mv
+from altro_tpu.ops.smallmat import mtv, mv
 from altro_tpu.tvlqr import _unroll
 from altro_tpu.linesearch import LineSearchOptions, wolfe_line_search
 from altro_tpu.options import SolverOptions, Verbosity
 from altro_tpu.problem import Problem
 from altro_tpu.status import LineSearchCode, SolveStatus
-from altro_tpu.tvlqr import TVLQRGains, tvlqr_backward, tvlqr_backward_associative
+from altro_tpu.tvlqr import tvlqr_backward, tvlqr_backward_associative
 
 __all__ = ["SolverState", "SolveStats", "init_state", "solve", "open_loop_rollout", "total_cost"]
 
