@@ -61,6 +61,11 @@ class SolverOptions:
     # TPU execution strategy
     parallel_riccati: bool = False  # lax.associative_scan backward pass
     throw_errors: bool = True  # host API raises on failed solve
+    # Re-symmetrize the Riccati cost-to-go each step: recommended for
+    # long horizons (N >~ 100) in f32, where roundoff asymmetry compounds
+    # into line-search failures; costs ~40% backward-pass throughput on
+    # TPU at small n, hence opt-in.
+    symmetrize_ctg: bool = False
 
     # Real-time iteration mode (beyond the reference): run EXACTLY
     # iterations_max iterations with a full step (alpha = 1), skipping the

@@ -387,7 +387,12 @@ def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
     backward = tvlqr_backward_associative if opts.parallel_riccati else tvlqr_backward
 
     def attempt(reg):
-        return backward(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
+        if opts.parallel_riccati:
+            return backward(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
+        return backward(
+            A, B, f_zero, lxx, luu, lux, lx, lu, reg,
+            symmetrize=opts.symmetrize_ctg,
+        )
 
     gains0 = attempt(reg0)
 

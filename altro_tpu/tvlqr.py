@@ -64,8 +64,15 @@ def _psd_solve(chol, rhs):
     return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
 
 
-def tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg=0.0) -> TVLQRGains:
+def tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg=0.0,
+                   symmetrize: bool = False) -> TVLQRGains:
     """Riccati backward pass.
+
+    symmetrize: re-symmetrize the cost-to-go each step. Roundoff
+    asymmetry compounds over long horizons (material in f32 beyond
+    N ~ 100; below test tolerances in f64) but the per-step transposes
+    cost ~40% throughput on TPU at reference scale — so it is opt-in
+    (SolverOptions.symmetrize_ctg).
 
     Args:
       A: [N, n, n] dynamics state Jacobians.
@@ -119,9 +126,8 @@ def tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg=0.0) -> TVLQRGains:
         QuuK = mm(Quu, K_k)
         KtQux = mtm(K_k, Qux)
         P_k = Qxx + mtm(QuuK, K_k) - KtQux - jnp.swapaxes(KtQux, -1, -2)
-        # Symmetrize: roundoff asymmetry compounds over long horizons
-        # (material in f32; below test tolerances in f64)
-        P_k = 0.5 * (P_k + jnp.swapaxes(P_k, -1, -2))
+        if symmetrize:
+            P_k = 0.5 * (P_k + jnp.swapaxes(P_k, -1, -2))
         p_k = Qx - mtv(QuuK, d_k) - mtv(K_k, Qu) + mtv(Qux, d_k)
 
         dV_k = jnp.stack([jnp.dot(d_k, Qu), 0.5 * jnp.dot(d_k, mv(Quu, d_k))])

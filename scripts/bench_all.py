@@ -151,6 +151,7 @@ def main():
             f32opts,
             use_backtracking_linesearch=True,
             iterations_max=20 if N > 100 else 30,
+            symmetrize_ctg=N > 100,
         )
         extra = {"note": "fixed-20-iteration long-horizon throughput"} if N > 100 else None
         run(name, problem, state, opts_i, extra)
