@@ -455,6 +455,13 @@ class ALTROSolver:
         self._require_init()
         return np.asarray(self._state.y[k])
 
+    def get_dual_constraint(self, constraint_index: int, k: int) -> np.ndarray:
+        """Augmented-Lagrangian dual of constraint group `constraint_index`
+        at knot k (the reference declares dual getters but never defines
+        them, altro_solver.hpp:392-401)."""
+        self._require_init()
+        return np.asarray(self._state.z[constraint_index][k])
+
     def get_feedback_gain(self, k: int) -> np.ndarray:
         """K_k — declared but unimplemented in the reference
         (altro_solver.hpp:381, no definition)."""

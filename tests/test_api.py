@@ -65,6 +65,28 @@ def test_input_bounds_via_api():
     np.testing.assert_allclose(solver.get_input(0), [-1.0, -1.0], atol=1e-4)
 
 
+def test_state_bounds_via_api():
+    """Working state bound constraints (stubbed out in the reference,
+    knotpoint_data.cpp:721-737): cap the velocity states."""
+    solver = build_solver([2.0, 2.0, 0.0, 0.0], penalty_initial=10.0)
+    xf = jnp.zeros(NX)
+    solver.set_constraint(lambda x, u, k: x - xf, NX, Cone.ZERO, "goal", N)
+    v_max = 0.8
+    solver.set_state_bounds(
+        x_lo=[-np.inf, -np.inf, -v_max, -v_max],
+        x_hi=[np.inf, np.inf, v_max, v_max],
+    )
+    solver.initialize()
+    status = solver.solve()
+    assert status == SolveStatus.SUCCESS
+    xs = np.stack([solver.get_state(k) for k in range(N + 1)])
+    assert np.abs(xs[:, 2:]).max() <= v_max + 1e-4
+    assert np.linalg.norm(solver.get_state(N)) < 1e-3
+    # Constraint-dual getter covers both groups
+    assert solver.get_dual_constraint(0, N).shape == (NX,)
+    assert solver.get_dual_constraint(1, 3).shape == (2 * NX,)
+
+
 def test_generic_cost():
     """Working generic costs via autodiff (the reference's SetCostFunction
     drops its callbacks, knotpoint_data.cpp:112-121)."""
