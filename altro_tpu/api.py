@@ -409,6 +409,27 @@ class ALTROSolver:
         self._state = dataclasses.replace(self._state, u=new_u)
         return self
 
+    def set_dual_dynamics(self, y, k_start: int = 0, k_stop: int = LAST_INDEX):
+        """Warm-start the TVLQR duals (SetDualDynamics, altro_solver.hpp:348)."""
+        self._require_init()
+        ks = list(self._range(k_start, k_stop, inclusive=True))
+        new_y = self._state.y.at[jnp.asarray(ks)].set(jnp.asarray(y, self.dtype))
+        self._state = dataclasses.replace(self._state, y=new_y)
+        return self
+
+    def set_dual_constraint(self, constraint_index: int, z,
+                            k_start: int = 0, k_stop: int = LAST_INDEX):
+        """Warm-start a constraint group's AL duals (SetDualGeneric,
+        altro_solver.hpp:357 — declared-but-missing in the reference)."""
+        self._require_init()
+        ks = list(self._range(k_start, k_stop, inclusive=True))
+        zs = list(self._state.z)
+        zs[constraint_index] = zs[constraint_index].at[jnp.asarray(ks)].set(
+            jnp.asarray(z, self.dtype)
+        )
+        self._state = dataclasses.replace(self._state, z=tuple(zs))
+        return self
+
     def open_loop_rollout(self):
         self._require_init()
         x = open_loop_rollout(self._problem, self._state.u)
