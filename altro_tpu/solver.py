@@ -513,11 +513,13 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         gains, reg_used = backward_adaptive(opts, A, B, lxx, luu, lux, lx, lu, c.reg)
         bp_failed = jnp.logical_not(gains.ok)
 
-        # 3. Merit derivative at alpha = 0 from cached expansions (the
-        #    alpha = 0 trajectory IS the reference trajectory, so no
-        #    nonlinear rollout is needed — numerically identical to
-        #    MeritFunction(0), solver.cpp:273-355)
-        dphi0 = merit0_derivative(A, B, gains.K, gains.d, lx, lu)
+        # 3. Merit derivative at alpha = 0: the classical iLQR
+        #    expected-decrease identity dphi(0) = DeltaV_1 = sum_k d_k.Qu_k
+        #    — already accumulated by the backward pass, so no scan at
+        #    all. Equal to the forward-sensitivity recurrence
+        #    (MeritFunction(0), solver.cpp:303-315; also
+        #    merit0_derivative) to machine epsilon.
+        dphi0 = gains.delta_V[0]
 
         def merit_full(alpha):
             out = merit_function(
