@@ -67,7 +67,7 @@ def main():
     dtype = jnp.float32
     N, n, m = 30, 4, 2
     B = int(os.environ.get("ALTRO_BENCH_BATCH", "1024"))
-    NSIM = int(os.environ.get("ALTRO_BENCH_TICKS", "50"))
+    NSIM = int(os.environ.get("ALTRO_BENCH_TICKS", "200"))
 
     try:
         ref = load_scotty()
