@@ -17,6 +17,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "..", "..", "native", "altro_native.cpp")
+_SRC2 = os.path.join(_HERE, "..", "..", "native", "altro_solver_native.cpp")
 _SO = os.path.join(_HERE, "..", "..", "native", "build", "libaltro_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -27,7 +28,7 @@ def _build() -> str:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-        _SRC, "-o", _SO,
+        _SRC, _SRC2, "-o", _SO,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     return _SO
@@ -38,7 +39,9 @@ def load() -> ctypes.CDLL:
     if _lib is not None:
         return _lib
     so = _SO
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(_SRC):
+    if not os.path.exists(so) or os.path.getmtime(so) < max(
+        os.path.getmtime(_SRC), os.path.getmtime(_SRC2)
+    ):
         so = _build()
     lib = ctypes.CDLL(so)
     dp = ctypes.POINTER(ctypes.c_double)
