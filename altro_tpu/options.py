@@ -39,6 +39,16 @@ class SolverOptions:
     penalty_initial: float = 1.0
     penalty_scaling: float = 10.0
     penalty_max: float = 1e8
+    # Warm-start the penalty from the carried SolverState.rho instead of
+    # resetting to penalty_initial every solve (the reference resets,
+    # solver.cpp:425-430, which forces each warm-started MPC resolve to
+    # re-escalate rho through dual-update rounds whenever a constraint is
+    # active — the source of the multi-iteration tail in receding-horizon
+    # loops). Carried rho is decayed by penalty_warm_start_decay each
+    # resolve so it can relax when constraints go inactive, and clipped to
+    # [penalty_initial, penalty_max].
+    penalty_warm_start: bool = False
+    penalty_warm_start_decay: float = 1.0
 
     # Line search (reference linesearch.hpp:40-47, 55-56)
     use_backtracking_linesearch: bool = False

@@ -468,6 +468,14 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
 
     # Prologue (solver.cpp:418-434): reset penalty, rollout, make reference
     rho0 = jnp.asarray(opts.penalty_initial, dtype)
+    if opts.penalty_warm_start:
+        # Carry the escalated penalty across warm-started resolves (see
+        # SolverOptions.penalty_warm_start); the reference resets it.
+        rho0 = jnp.clip(
+            state.rho.astype(dtype) * jnp.asarray(opts.penalty_warm_start_decay, dtype),
+            rho0,
+            jnp.asarray(opts.penalty_max, dtype),
+        )
     x_init = open_loop_rollout(problem, state.u)
     convals0 = _trajectory_convals(problem, x_init, state.u)
     A0, B0 = dynamics_expansions(problem, x_init, state.u)

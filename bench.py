@@ -95,6 +95,7 @@ def main():
         cost=cost0, h=jnp.full(N, h, dtype), x0=jnp.asarray(ref.x[0], dtype),
     )
     rti = os.environ.get("ALTRO_BENCH_RTI") == "1"
+    warm_rho = os.environ.get("ALTRO_BENCH_WARM_RHO", "1") == "1"
     opts = SolverOptions(
         iterations_max=1 if rti else 10,
         use_backtracking_linesearch=True,
@@ -102,6 +103,8 @@ def main():
         tol_primal_feasibility=1e-3,
         throw_errors=False,
         rti_mode=rti,
+        penalty_warm_start=warm_rho,
+        penalty_warm_start_decay=float(os.environ.get("ALTRO_BENCH_WARM_RHO_DECAY", "1.0")),
     )
 
     # Sliding tracking windows (shared across lanes), precomputed on host

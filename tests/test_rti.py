@@ -30,8 +30,10 @@ def closed_loop(opts, Nsim=60):
     c_u = 0.5 * float(u0 @ (jnp.full(2, 1e-3) * u0))
     x_sim = [np.asarray(ref.x[0])]
     errs = []
+    iters = []
     for t in range(Nsim):
         state, stats = solve_jit(problem, state, opts)
+        iters.append(int(stats.iterations))
         u_now = np.asarray(state.u[0])
         x_next = np.asarray(dyn(jnp.asarray(x_sim[-1]), jnp.asarray(u_now), h, 0))
         x_sim.append(x_next)
@@ -43,14 +45,27 @@ def closed_loop(opts, Nsim=60):
         problem = update_linear_costs(problem, q=q_new, c=c_new)
         problem = set_initial_state(problem, x_next)
         state = shift_trajectory(state)
-    return np.asarray(errs)
+    return np.asarray(errs), np.asarray(iters)
 
 
 def test_rti_matches_full_solver_quality():
     full = SolverOptions(iterations_max=80, use_backtracking_linesearch=True)
     rti = SolverOptions(iterations_max=1, rti_mode=True, throw_errors=False)
-    errs_full = closed_loop(full)
-    errs_rti = closed_loop(rti)
+    errs_full, _ = closed_loop(full)
+    errs_rti, _ = closed_loop(rti)
     # RTI closed-loop tracking stays within 20% of the converged solver
     assert errs_rti.mean() < errs_full.mean() * 1.2 + 1e-3
     assert np.isfinite(errs_rti).all()
+
+
+def test_penalty_warm_start_cuts_iterations_at_equal_quality():
+    """Carrying rho across warm-started resolves (penalty_warm_start)
+    removes the per-resolve re-escalation rounds: strictly fewer total
+    iterations over the closed loop, no loss of tracking quality."""
+    base = SolverOptions(iterations_max=80, use_backtracking_linesearch=True)
+    warm = base.replace(penalty_warm_start=True)
+    errs_reset, iters_reset = closed_loop(base)
+    errs_warm, iters_warm = closed_loop(warm)
+    assert iters_warm.sum() < iters_reset.sum()
+    assert errs_warm.mean() < errs_reset.mean() * 1.05 + 1e-3
+    assert np.isfinite(errs_warm).all()
