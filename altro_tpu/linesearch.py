@@ -23,7 +23,14 @@ import jax.numpy as jnp
 
 from altro_tpu.status import LineSearchCode
 
-__all__ = ["LineSearchOptions", "LineSearchResult", "wolfe_line_search", "cubic_fit", "cubic_argmin"]
+__all__ = [
+    "LineSearchOptions",
+    "LineSearchResult",
+    "wolfe_line_search",
+    "parallel_backtracking_search",
+    "cubic_fit",
+    "cubic_argmin",
+]
 
 _TOL = 1e-6  # cubicspline.c LINESEARCH_TOL
 
@@ -515,4 +522,89 @@ def wolfe_line_search(
         n_iters=final.n_iters,
         aux=final.aux,
         aux_alpha=final.aux_alpha,
+    )
+
+
+def parallel_backtracking_search(
+    merit_full: Callable,
+    phi0,
+    dphi0,
+    alpha0=1.0,
+    opts: LineSearchOptions = LineSearchOptions(),
+    aux0=None,
+    width: int = 8,
+) -> LineSearchResult:
+    """Backtracking line search with ALL trial steps evaluated at once.
+
+    TPU-native redesign of the sequential backtracking mode
+    (linesearch.cpp:385-412): instead of trying alpha0, alpha0*beta,
+    alpha0*beta^2, ... one merit rollout at a time, evaluate the whole
+    geometric trial grid in a single batched (vmap-over-alpha) merit
+    evaluation and select the first passing step. Why it matters under
+    batching: a vmapped `lax.while_loop` runs until EVERY lane's
+    predicate clears, so with B lanes in lockstep one straggler lane
+    needing k trials makes all B lanes pay k sequential merit rollouts.
+    Here the sequential depth is exactly one merit rollout regardless of
+    k (the grid dimension rides the batch/vector axis, where the TPU has
+    slack at these model sizes).
+
+    Accepted-step parity with the sequential mode (ls_try_cubic_first
+    False): alpha0 is accepted on Armijo+strong-Wolfe (bracket_step
+    semantics); otherwise the first alpha0*beta^k (k >= 1) satisfying
+    Armijo is taken; if none of the `width` trials pass, the search
+    fails with the same not-found code the sequential loop returns on
+    exhaustion. n_iters reports the count of merit evaluations the
+    sequential search would have performed (1 + k).
+    """
+    dtype = jnp.asarray(phi0).dtype
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.result_type(float)
+    phi0 = jnp.asarray(phi0, dtype)
+    dphi0 = jnp.asarray(dphi0, dtype)
+    c1 = jnp.asarray(opts.c1, dtype)
+    c2 = jnp.asarray(opts.c2, dtype)
+
+    alphas = jnp.asarray(alpha0, dtype) * jnp.asarray(
+        opts.beta_decrease, dtype
+    ) ** jnp.arange(width, dtype=dtype)
+
+    has_aux = aux0 is not None
+
+    def eval_one(a):
+        out = merit_full(a)
+        if has_aux:
+            phi_t, dphi_t, aux_t = out
+        else:
+            (phi_t, dphi_t), aux_t = out[:2], ()
+        return jnp.asarray(phi_t, dtype), jnp.asarray(dphi_t, dtype), aux_t
+
+    phis, dphis, auxs = jax.vmap(eval_one)(alphas)
+
+    armijo = phis <= phi0 + c1 * alphas * dphi0
+    accept_first = jnp.logical_and(armijo[0], jnp.abs(dphis[0]) <= -c2 * dphi0)
+    rest = armijo.at[0].set(False)
+    any_rest = jnp.any(rest)
+    first_rest = jnp.argmax(rest)  # first True index (k >= 1)
+    ok = jnp.logical_or(accept_first, any_rest)
+    idx = jnp.where(accept_first, 0, jnp.where(any_rest, first_rest, width - 1))
+
+    # Not a descent direction: alpha = 0 (linesearch.cpp:49-52)
+    not_descent = dphi0 >= 0
+    ok = jnp.logical_and(ok, jnp.logical_not(not_descent))
+
+    alpha = jnp.where(ok, alphas[idx], jnp.where(not_descent, 0.0, alphas[width - 1]))
+    code = jnp.where(
+        not_descent,
+        int(LineSearchCode.NOT_DESCENT_DIRECTION),
+        jnp.where(ok, int(LineSearchCode.MINIMUM_FOUND), int(LineSearchCode.NO_ERROR)),
+    ).astype(jnp.int32)
+    aux = jax.tree.map(lambda a: a[idx], auxs) if has_aux else ()
+    return LineSearchResult(
+        alpha=alpha,
+        phi=phis[idx],
+        dphi=dphis[idx],
+        code=code,
+        n_iters=jnp.where(ok, idx + 1, width).astype(jnp.int32),
+        aux=aux,
+        aux_alpha=jnp.where(ok, alphas[idx], jnp.asarray(jnp.nan, dtype)),
     )

@@ -60,6 +60,15 @@ class SolverOptions:
     ls_try_cubic_first: bool = True
     ls_c1: float = 1e-4  # Armijo sufficient-decrease
     ls_c2: float = 0.9  # strong-Wolfe curvature
+    # Evaluate the whole backtracking trial grid {1, b, b^2, ...} in ONE
+    # batched merit evaluation and select the first passing step, instead
+    # of sequential trials (requires use_backtracking_linesearch). Under
+    # vmap a sequential line search makes every lane pay the straggler
+    # lane's trial count in sequential merit rollouts; the parallel grid
+    # bounds the sequential depth at one rollout. Same accepted step as
+    # the sequential mode with ls_try_cubic_first=False.
+    parallel_linesearch: bool = False
+    ls_parallel_width: int = 8
 
     # Adaptive Quu regularization (new: reference hardwires reg = 0 and
     # aborts the whole solve on Cholesky failure, solver.cpp:363,373-377)

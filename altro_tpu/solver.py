@@ -34,7 +34,11 @@ from altro_tpu import al
 from altro_tpu import cones
 from altro_tpu.ops.smallmat import mtv, mv
 from altro_tpu.tvlqr import _unroll
-from altro_tpu.linesearch import LineSearchOptions, wolfe_line_search
+from altro_tpu.linesearch import (
+    LineSearchOptions,
+    parallel_backtracking_search,
+    wolfe_line_search,
+)
 from altro_tpu.options import SolverOptions, Verbosity
 from altro_tpu.problem import Problem
 from altro_tpu.status import LineSearchCode, SolveStatus
@@ -550,9 +554,19 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             ls_iters = jnp.asarray(1, jnp.int32)
             m = m_rti
         else:
-            ls = wolfe_line_search(
-                merit_full, None, phi0, dphi0, 1.0, ls_opts, aux0=aux0
-            )
+            if opts.parallel_linesearch:
+                if not opts.use_backtracking_linesearch:
+                    raise ValueError(
+                        "parallel_linesearch requires use_backtracking_linesearch"
+                    )
+                ls = parallel_backtracking_search(
+                    merit_full, phi0, dphi0, 1.0, ls_opts, aux0=aux0,
+                    width=opts.ls_parallel_width,
+                )
+            else:
+                ls = wolfe_line_search(
+                    merit_full, None, phi0, dphi0, 1.0, ls_opts, aux0=aux0
+                )
             alpha = jnp.where(grad_small, 0.0, ls.alpha)
             ls_ok = jnp.logical_or(
                 ls.code == int(LineSearchCode.MINIMUM_FOUND),

@@ -96,6 +96,7 @@ def main():
     )
     rti = os.environ.get("ALTRO_BENCH_RTI") == "1"
     warm_rho = os.environ.get("ALTRO_BENCH_WARM_RHO", "1") == "1"
+    par_ls = os.environ.get("ALTRO_BENCH_PAR_LS", "1") == "1"
     opts = SolverOptions(
         iterations_max=1 if rti else 10,
         use_backtracking_linesearch=True,
@@ -105,6 +106,9 @@ def main():
         rti_mode=rti,
         penalty_warm_start=warm_rho,
         penalty_warm_start_decay=float(os.environ.get("ALTRO_BENCH_WARM_RHO_DECAY", "1.0")),
+        parallel_linesearch=par_ls,
+        ls_try_cubic_first=not par_ls,
+        ls_parallel_width=int(os.environ.get("ALTRO_BENCH_PAR_LS_WIDTH", "8")),
     )
 
     # Sliding tracking windows (shared across lanes), precomputed on host

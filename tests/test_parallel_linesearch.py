@@ -1,0 +1,130 @@
+"""Parallel-grid backtracking line search (linesearch.parallel_backtracking_search).
+
+Accepted-step parity with the sequential backtracking mode
+(ls_try_cubic_first=False) on analytic merit functions and through whole
+solves, plus the failure paths.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from altro_tpu.cones import Cone
+from altro_tpu.linesearch import (
+    LineSearchOptions,
+    parallel_backtracking_search,
+    wolfe_line_search,
+)
+from altro_tpu.models.double_integrator import double_integrator_dynamics
+from altro_tpu.options import SolverOptions
+from altro_tpu.problem import ConstraintSpec, Problem, lqr_cost_from_reference
+from altro_tpu.solver import init_state, solve
+from altro_tpu.status import LineSearchCode
+
+
+def _quadratic_merit(argmin):
+    def merit(alpha):
+        phi = 0.5 * (alpha - argmin) ** 2
+        return phi, (alpha - argmin), ()
+
+    return merit
+
+
+def _run_both(merit, phi0, dphi0, **kw):
+    seq_opts = LineSearchOptions(use_backtracking=True, try_cubic_first=False, **kw)
+    seq = wolfe_line_search(merit, None, phi0, dphi0, 1.0, seq_opts, aux0=())
+    par = parallel_backtracking_search(merit, phi0, dphi0, 1.0, seq_opts, aux0=())
+    return seq, par
+
+
+def test_accepts_full_step_like_sequential():
+    merit = _quadratic_merit(1.0)  # alpha=1 is the exact minimizer
+    seq, par = _run_both(merit, 0.5, -1.0)
+    assert float(par.alpha) == float(seq.alpha) == 1.0
+    assert int(par.code) == int(seq.code) == int(LineSearchCode.MINIMUM_FOUND)
+    assert int(par.n_iters) == int(seq.n_iters) == 1
+
+
+def test_backtracks_to_same_step_and_count():
+    # Minimizer at 0.18: alpha=1 fails Armijo, grid accepts at the same
+    # trial the sequential loop does.
+    merit = _quadratic_merit(0.18)
+    phi0, dphi0 = float(merit(0.0)[0]), float(merit(0.0)[1])
+    seq, par = _run_both(merit, phi0, dphi0)
+    assert float(par.alpha) == float(seq.alpha)
+    assert int(par.n_iters) == int(seq.n_iters)
+    assert int(par.code) == int(seq.code) == int(LineSearchCode.MINIMUM_FOUND)
+
+
+def test_not_descent_direction():
+    merit = _quadratic_merit(-1.0)
+    phi0, dphi0 = float(merit(0.0)[0]), float(merit(0.0)[1])
+    assert dphi0 > 0
+    seq, par = _run_both(merit, phi0, dphi0)
+    assert int(par.code) == int(seq.code) == int(LineSearchCode.NOT_DESCENT_DIRECTION)
+    assert float(par.alpha) == float(seq.alpha) == 0.0
+
+
+def test_exhaustion_fails_like_sequential():
+    # Merit increases for every trial: no grid point passes Armijo.
+    def merit(alpha):
+        return 1.0 + alpha, jnp.asarray(1.0), ()
+
+    par = parallel_backtracking_search(merit, 1.0, -1.0, 1.0, LineSearchOptions(), aux0=(), width=6)
+    assert int(par.code) == int(LineSearchCode.NO_ERROR)
+    assert int(par.n_iters) == 6
+
+
+def _bounded_di_problem(N=10):
+    dtype = jnp.float64
+    n, m = 4, 2
+    dyn = double_integrator_dynamics()
+    xref = jnp.tile(jnp.asarray([1.0, 1.0, 0.0, 0.0], dtype), (N + 1, 1))
+    uref = jnp.zeros((N + 1, m), dtype)
+    cost = lqr_cost_from_reference(
+        jnp.tile(jnp.asarray([1.0, 1.0, 0.1, 0.1], dtype), (N + 1, 1)),
+        jnp.tile(jnp.asarray([1e-2, 1e-2], dtype), (N + 1, 1)),
+        xref, uref,
+    )
+    ub = 0.5
+    bound = ConstraintSpec(
+        fn=lambda x, u, k: jnp.concatenate([u - ub, -ub - u]),
+        cone=Cone.NEGATIVE_ORTHANT, dim=2 * m,
+        active=jnp.arange(N + 1) < N, label="ubound",
+    )
+    return Problem(
+        N=N, n=n, m=m, dynamics=dyn, dynamics_jac=None, constraints=(bound,),
+        cost=cost, h=jnp.full(N, 0.1, dtype), x0=jnp.zeros(n, dtype),
+    )
+
+
+def test_whole_solve_parity_with_sequential_backtracking():
+    """Same iterates, iteration counts, and stats through a full
+    constraint-active AL-iLQR solve."""
+    problem = _bounded_di_problem()
+    base = SolverOptions(
+        iterations_max=60, use_backtracking_linesearch=True,
+        ls_try_cubic_first=False, throw_errors=False,
+    )
+    par_opts = base.replace(parallel_linesearch=True)
+    s_seq, st_seq = jax.jit(solve, static_argnums=2)(problem, init_state(problem), base)
+    s_par, st_par = jax.jit(solve, static_argnums=2)(problem, init_state(problem), par_opts)
+    assert int(st_par.iterations) == int(st_seq.iterations)
+    assert int(st_par.status) == int(st_seq.status)
+    np.testing.assert_allclose(np.asarray(s_par.u), np.asarray(s_seq.u), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_par.x), np.asarray(s_seq.x), rtol=0, atol=1e-12)
+    assert int(st_par.ls_iterations) == int(st_seq.ls_iterations)
+    # control saturates at the bound (the 5-iteration oracle problem family)
+    assert np.max(np.abs(np.asarray(s_par.u))) <= 0.5 + 1e-4
+
+
+def test_requires_backtracking_mode():
+    problem = _bounded_di_problem(N=4)
+    bad = SolverOptions(parallel_linesearch=True, use_backtracking_linesearch=False)
+    try:
+        solve(problem, init_state(problem), bad)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "use_backtracking_linesearch" in str(e)
