@@ -551,22 +551,27 @@ def parallel_backtracking_search(
     Accepted-step parity with the sequential mode (ls_try_cubic_first
     False): alpha0 is accepted on Armijo+strong-Wolfe (bracket_step
     semantics); otherwise the first alpha0*beta^k (k >= 1) satisfying
-    Armijo is taken; if none of the `width` trials pass, the search
-    fails with the same not-found code the sequential loop returns on
-    exhaustion. n_iters reports the count of merit evaluations the
-    sequential search would have performed (1 + k).
+    Armijo is taken. The grid is evaluated in BLOCKS of `width`: one
+    batched evaluation covers {beta^0..beta^(width-1)}; only if no trial
+    in the block passes does a second block {beta^width..} run
+    (lax.while_loop), up to opts.max_iters total trials — so the deep
+    backtracks that stiff-penalty knots occasionally need (a
+    warm-started rho of 1e3+ puts the acceptable step below beta^7)
+    still succeed, at 1/width the sequential depth. If all max_iters
+    trials fail, the search returns the same not-found code the
+    sequential loop returns on exhaustion. n_iters reports the count of
+    merit evaluations the sequential search would have performed (1+k).
     """
     dtype = jnp.asarray(phi0).dtype
     if not jnp.issubdtype(dtype, jnp.floating):
         dtype = jnp.result_type(float)
     phi0 = jnp.asarray(phi0, dtype)
     dphi0 = jnp.asarray(dphi0, dtype)
+    alpha0 = jnp.asarray(alpha0, dtype)
+    beta = jnp.asarray(opts.beta_decrease, dtype)
     c1 = jnp.asarray(opts.c1, dtype)
     c2 = jnp.asarray(opts.c2, dtype)
-
-    alphas = jnp.asarray(alpha0, dtype) * jnp.asarray(
-        opts.beta_decrease, dtype
-    ) ** jnp.arange(width, dtype=dtype)
+    n_blocks = max(1, -(-int(opts.max_iters) // width))  # ceil
 
     has_aux = aux0 is not None
 
@@ -578,33 +583,61 @@ def parallel_backtracking_search(
             (phi_t, dphi_t), aux_t = out[:2], ()
         return jnp.asarray(phi_t, dtype), jnp.asarray(dphi_t, dtype), aux_t
 
-    phis, dphis, auxs = jax.vmap(eval_one)(alphas)
+    def eval_block(block):
+        """Evaluate trials k = block*width .. block*width+width-1; return
+        (found, k_global, alpha, phi, dphi, aux) for the first passing."""
+        ks = block * width + jnp.arange(width)
+        alphas = alpha0 * beta ** ks.astype(dtype)
+        phis, dphis, auxs = jax.vmap(eval_one)(alphas)
+        armijo = phis <= phi0 + c1 * alphas * dphi0
+        # Global first trial (k = 0) uses bracket_step semantics:
+        # Armijo AND strong Wolfe.
+        wolfe_first = jnp.abs(dphis[0]) <= -c2 * dphi0
+        passes = jnp.where(
+            ks == 0, jnp.logical_and(armijo, wolfe_first), armijo
+        )
+        found = jnp.any(passes)
+        idx = jnp.argmax(passes)  # first passing index in block
+        aux = jax.tree.map(lambda a: a[idx], auxs) if has_aux else ()
+        return found, ks[idx], alphas[idx], phis[idx], dphis[idx], aux
 
-    armijo = phis <= phi0 + c1 * alphas * dphi0
-    accept_first = jnp.logical_and(armijo[0], jnp.abs(dphis[0]) <= -c2 * dphi0)
-    rest = armijo.at[0].set(False)
-    any_rest = jnp.any(rest)
-    first_rest = jnp.argmax(rest)  # first True index (k >= 1)
-    ok = jnp.logical_or(accept_first, any_rest)
-    idx = jnp.where(accept_first, 0, jnp.where(any_rest, first_rest, width - 1))
+    found0, k0, a0_, p0_, d0_, aux_first = eval_block(jnp.asarray(0, jnp.int32))
+
+    if n_blocks == 1:
+        found, k_acc, alpha_acc, phi_acc, dphi_acc, aux_acc = (
+            found0, k0, a0_, p0_, d0_, aux_first,
+        )
+    else:
+        def cond(c):
+            found, block = c[0], c[1]
+            return jnp.logical_and(jnp.logical_not(found), block < n_blocks)
+
+        def body(c):
+            _, block = c[0], c[1]
+            f, k, a, p, d, aux = eval_block(block)
+            return (f, block + 1, k, a, p, d, aux)
+
+        init = (found0, jnp.asarray(1, jnp.int32), k0, a0_, p0_, d0_, aux_first)
+        found, _, k_acc, alpha_acc, phi_acc, dphi_acc, aux_acc = jax.lax.while_loop(
+            cond, body, init
+        )
 
     # Not a descent direction: alpha = 0 (linesearch.cpp:49-52)
     not_descent = dphi0 >= 0
-    ok = jnp.logical_and(ok, jnp.logical_not(not_descent))
+    ok = jnp.logical_and(found, jnp.logical_not(not_descent))
 
-    alpha = jnp.where(ok, alphas[idx], jnp.where(not_descent, 0.0, alphas[width - 1]))
+    alpha = jnp.where(ok, alpha_acc, jnp.where(not_descent, 0.0, alpha_acc))
     code = jnp.where(
         not_descent,
         int(LineSearchCode.NOT_DESCENT_DIRECTION),
         jnp.where(ok, int(LineSearchCode.MINIMUM_FOUND), int(LineSearchCode.NO_ERROR)),
     ).astype(jnp.int32)
-    aux = jax.tree.map(lambda a: a[idx], auxs) if has_aux else ()
     return LineSearchResult(
-        alpha=alpha,
-        phi=phis[idx],
-        dphi=dphis[idx],
+        alpha=jnp.where(not_descent, 0.0, alpha),
+        phi=phi_acc,
+        dphi=dphi_acc,
         code=code,
-        n_iters=jnp.where(ok, idx + 1, width).astype(jnp.int32),
-        aux=aux,
-        aux_alpha=jnp.where(ok, alphas[idx], jnp.asarray(jnp.nan, dtype)),
+        n_iters=jnp.where(ok, k_acc + 1, opts.max_iters).astype(jnp.int32),
+        aux=aux_acc,
+        aux_alpha=jnp.where(ok, alpha_acc, jnp.asarray(jnp.nan, dtype)),
     )

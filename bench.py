@@ -109,6 +109,13 @@ def main():
         parallel_linesearch=par_ls,
         ls_try_cubic_first=not par_ls,
         ls_parallel_width=int(os.environ.get("ALTRO_BENCH_PAR_LS_WIDTH", "8")),
+        # One grid block only: deeper backtracks (beta^8..beta^24, the
+        # robust library default) would make EVERY tick pay extra
+        # sequential merit evaluations whenever any of the B lanes
+        # exhausts block 0 — and the ~1% of lane-ticks that do exhaust
+        # it are better served here by failing fast (per-lane isolation;
+        # closed-loop error is unchanged, see docs/PERF.md).
+        ls_max_iters=int(os.environ.get("ALTRO_BENCH_LS_ITERS", "8" if par_ls else "25")),
     )
 
     # Sliding tracking windows (shared across lanes), precomputed on host
@@ -150,14 +157,14 @@ def main():
         x_true = jax.vmap(lambda x, u: dyn(x, u, jnp.asarray(h, dtype), 0))(x_true, u0)
         states = jax.vmap(shift_trajectory)(states)
         err = jnp.linalg.norm(x_true - xw_dev[t + 1, 0][None, :], axis=1)
-        return (x_true, states), (stats.iterations, err)
+        return (x_true, states), (stats.iterations, err, stats.status)
 
     @jax.jit
     def run(x_true, states):
-        (x_true, states), (iters, errs) = jax.lax.scan(
+        (x_true, states), (iters, errs, statuses) = jax.lax.scan(
             tick, (x_true, states), jnp.arange(NSIM)
         )
-        return x_true, states, iters, errs
+        return x_true, states, iters, errs, statuses
 
     # Warm-up / compile
     t0 = time.perf_counter()
@@ -166,7 +173,7 @@ def main():
 
     # Timed run
     t0 = time.perf_counter()
-    x_true, states, iters, errs = jax.block_until_ready(run(x_true0, states0))
+    x_true, states, iters, errs, statuses = jax.block_until_ready(run(x_true0, states0))
     elapsed = time.perf_counter() - t0
 
     total_solves = B * NSIM
@@ -189,6 +196,7 @@ def main():
         "batch_resolve_latency_ms": round(per_tick_ms, 3),
         "mean_iterations": round(mean_iters, 3),
         "mean_tracking_error": round(mean_err, 4),
+        "success_rate": round(float(jnp.mean(statuses == 0)), 4),
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(result))

@@ -72,9 +72,32 @@ def test_exhaustion_fails_like_sequential():
     def merit(alpha):
         return 1.0 + alpha, jnp.asarray(1.0), ()
 
-    par = parallel_backtracking_search(merit, 1.0, -1.0, 1.0, LineSearchOptions(), aux0=(), width=6)
+    par = parallel_backtracking_search(
+        merit, 1.0, -1.0, 1.0, LineSearchOptions(max_iters=6), aux0=(), width=6
+    )
     assert int(par.code) == int(LineSearchCode.NO_ERROR)
     assert int(par.n_iters) == 6
+
+
+def test_deep_backtrack_crosses_block_boundary():
+    """A merit with huge curvature needs alpha ~ beta^10 — deeper than one
+    8-wide block; the blocked search must find the same step the
+    sequential search does."""
+    # phi(a) = phi0 + d0*a + 0.5*C*a^2 with C >> |d0|: acceptable steps
+    # are a < 2*(c1-1)*d0/C ~ 2e-3 -> first passing beta^k is k=9.
+    d0, C = -1.0, 1000.0
+
+    def merit(alpha):
+        phi = 1.0 + d0 * alpha + 0.5 * C * alpha**2
+        return phi, d0 + C * alpha, ()
+
+    seq_opts = LineSearchOptions(use_backtracking=True, try_cubic_first=False)
+    seq = wolfe_line_search(merit, None, 1.0, d0, 1.0, seq_opts, aux0=())
+    par = parallel_backtracking_search(merit, 1.0, d0, 1.0, seq_opts, aux0=(), width=8)
+    assert int(seq.code) == int(LineSearchCode.MINIMUM_FOUND)
+    assert float(par.alpha) == float(seq.alpha)
+    assert int(par.n_iters) == int(seq.n_iters)
+    assert int(par.code) == int(LineSearchCode.MINIMUM_FOUND)
 
 
 def _bounded_di_problem(N=10):
