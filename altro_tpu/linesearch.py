@@ -110,6 +110,9 @@ class LineSearchOptions(NamedTuple):
     min_interval_size: float = 1e-6
     try_cubic_first: bool = True
     use_backtracking: bool = False
+    # Relative Armijo slack (see SolverOptions.ls_armijo_slack): accept
+    # phi <= phi0 + c1*a*dphi0 + armijo_slack*|phi0|. 0 = exact Armijo.
+    armijo_slack: float = 0.0
 
 
 class LineSearchResult(NamedTuple):
@@ -238,7 +241,7 @@ def wolfe_line_search(
         )
 
     def armijo(alpha, phi):
-        return phi <= phi0 + c1 * alpha * dphi0
+        return phi <= phi0 + c1 * alpha * dphi0 + opts.armijo_slack * jnp.abs(phi0)
 
     def wolfe(dphi):
         return jnp.abs(dphi) <= -c2 * dphi0
@@ -589,7 +592,9 @@ def parallel_backtracking_search(
         ks = block * width + jnp.arange(width)
         alphas = alpha0 * beta ** ks.astype(dtype)
         phis, dphis, auxs = jax.vmap(eval_one)(alphas)
-        armijo = phis <= phi0 + c1 * alphas * dphi0
+        armijo = phis <= phi0 + c1 * alphas * dphi0 + jnp.asarray(
+            opts.armijo_slack, dtype
+        ) * jnp.abs(phi0)
         # Global first trial (k = 0) uses bracket_step semantics:
         # Armijo AND strong Wolfe.
         wolfe_first = jnp.abs(dphis[0]) <= -c2 * dphi0

@@ -69,6 +69,14 @@ class SolverOptions:
     # the sequential mode with ls_try_cubic_first=False.
     parallel_linesearch: bool = False
     ls_parallel_width: int = 8
+    # Relative Armijo slack: accept phi <= phi0 + c1*a*dphi0 + slack*|phi0|.
+    # At f32, merit differences near convergence sit at the roundoff level
+    # of phi0, so the exact Armijo test rejects every step and the resolve
+    # ends LINE_SEARCH_FAILED; a slack of a few f32 ULPs (~1e-6) accepts
+    # those numerically-converged steps (Hager & Zhang's approximate
+    # Wolfe conditions address the same failure mode). 0 = exact
+    # (reference parity).
+    ls_armijo_slack: float = 0.0
 
     # Adaptive Quu regularization (new: reference hardwires reg = 0 and
     # aborts the whole solve on Cholesky failure, solver.cpp:363,373-377)

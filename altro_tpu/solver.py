@@ -468,6 +468,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         min_interval_size=opts.ls_min_interval_size,
         try_cubic_first=opts.ls_try_cubic_first,
         use_backtracking=opts.use_backtracking_linesearch,
+        armijo_slack=opts.ls_armijo_slack,
     )
 
     # Prologue (solver.cpp:418-434): reset penalty, rollout, make reference

@@ -143,6 +143,29 @@ def test_whole_solve_parity_with_sequential_backtracking():
     assert np.max(np.abs(np.asarray(s_par.u))) <= 0.5 + 1e-4
 
 
+def test_armijo_slack_accepts_roundoff_level_steps():
+    """With ls_armijo_slack, a step whose merit 'increase' is at the
+    roundoff level of phi0 is accepted; exact Armijo rejects it."""
+    phi0 = 1.0e4
+
+    def merit(alpha):
+        # phi increases by 1e-3 at every trial: 1e-7 relative to phi0.
+        # dphi small enough that the strong-Wolfe curvature test passes.
+        return phi0 + 1e-3, jnp.asarray(-0.5), ()
+
+    exact = LineSearchOptions(use_backtracking=True, try_cubic_first=False)
+    slack = exact._replace(armijo_slack=1e-6)
+    for search in (
+        lambda o: wolfe_line_search(merit, None, phi0, -1.0, 1.0, o, aux0=()),
+        lambda o: parallel_backtracking_search(merit, phi0, -1.0, 1.0, o, aux0=()),
+    ):
+        rej = search(exact)
+        acc = search(slack)
+        assert int(rej.code) != int(LineSearchCode.MINIMUM_FOUND)
+        assert int(acc.code) == int(LineSearchCode.MINIMUM_FOUND)
+        assert float(acc.alpha) == 1.0
+
+
 def test_requires_backtracking_mode():
     problem = _bounded_di_problem(N=4)
     bad = SolverOptions(parallel_linesearch=True, use_backtracking_linesearch=False)
