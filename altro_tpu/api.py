@@ -449,6 +449,8 @@ class ALTROSolver:
         self._require_init()
         if self._solve_fn is None:
             self._solve_fn = jax.jit(_solve, static_argnames=("opts",))
+        if self._opts.max_solve_time != float("inf"):
+            return self._solve_timed()
         t0 = time.perf_counter()
         state, stats = self._solve_fn(self._problem, self._state, self._opts)
         stats = jax.block_until_ready(stats)
@@ -458,6 +460,59 @@ class ALTROSolver:
         status = SolveStatus(int(stats.status))
         if self._opts.throw_errors and status not in (
             SolveStatus.SUCCESS, SolveStatus.MAX_ITERATIONS
+        ):
+            raise AltroError(ErrorCode.LINE_SEARCH_FAILED, f"solve failed: {status.name}")
+        return status
+
+    def _solve_timed(self) -> SolveStatus:
+        """Enforce options.max_solve_time (declared but never enforced by
+        the reference, solver_options.hpp:36 has no read sites).
+
+        A jitted solve cannot be interrupted mid-flight, so the budget is
+        enforced host-side by running the solve in CHUNKS of iterations
+        and checking the wall clock between chunks. Continuation chunks
+        warm-start from the carried state with the escalated penalty
+        kept (penalty_warm_start), so the chunked trajectory follows the
+        single-call solve closely (identically for unconstrained
+        problems). On budget exhaustion the status is MAX_SOLVE_TIME and
+        the best-so-far iterates are kept — deterministic compute budgets
+        (rti_mode / iterations_max) remain the recommended real-time
+        mechanism.
+        """
+        chunk = max(1, min(self._opts.iterations_max, 10))
+        budget_s = self._opts.max_solve_time
+        total_iters = 0
+        t0 = time.perf_counter()
+        status = SolveStatus.UNSOLVED
+        opts_chunk = self._opts.replace(
+            iterations_max=chunk, max_solve_time=float("inf"), throw_errors=False
+        )
+        while True:
+            state, stats = self._solve_fn(self._problem, self._state, opts_chunk)
+            stats = jax.block_until_ready(stats)
+            self._state = state
+            self._stats = stats
+            total_iters += int(stats.iterations)
+            status = SolveStatus(int(stats.status))
+            elapsed = time.perf_counter() - t0
+            if status != SolveStatus.MAX_ITERATIONS:
+                break  # converged or failed inside the chunk
+            if total_iters >= self._opts.iterations_max:
+                status = SolveStatus.MAX_ITERATIONS
+                break
+            if elapsed >= budget_s:
+                status = SolveStatus.MAX_SOLVE_TIME
+                break
+            # keep the escalated penalty across continuation chunks
+            opts_chunk = opts_chunk.replace(penalty_warm_start=True)
+        self._solve_time_ms = (time.perf_counter() - t0) * 1e3
+        self._stats = dataclasses.replace(
+            self._stats,
+            status=jnp.asarray(int(status), jnp.int32),
+            iterations=jnp.asarray(total_iters, jnp.int32),
+        )
+        if self._opts.throw_errors and status not in (
+            SolveStatus.SUCCESS, SolveStatus.MAX_ITERATIONS, SolveStatus.MAX_SOLVE_TIME
         ):
             raise AltroError(ErrorCode.LINE_SEARCH_FAILED, f"solve failed: {status.name}")
         return status

@@ -28,8 +28,16 @@ class Verbosity(enum.IntEnum):
 class SolverOptions:
     # Outer/inner fused loop (reference defaults, solver_options.hpp:16-39)
     iterations_max: int = 200
+    # tol_cost / tol_cost_intermediate are declared but never used by
+    # the reference (solver_options.hpp:20-21 have no read sites); here
+    # the intended cost-decrease stopping criterion is real, gated by
+    # enable_cost_tolerance (off by default to preserve the reference's
+    # exact iteration-count behavior): stop with SUCCESS when the merit
+    # decrease of an accepted step falls below tol_cost while primal
+    # feasibility is within tolerance.
     tol_cost: float = 1e-4
     tol_cost_intermediate: float = 1e-4
+    enable_cost_tolerance: bool = False
     tol_primal_feasibility: float = 1e-4
     tol_stationarity: float = 1e-4
     tol_meritfun_gradient: float = 1e-8

@@ -602,6 +602,18 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         converged = jnp.logical_and(
             jnp.abs(stat) < opts.tol_stationarity, feas < opts.tol_primal_feasibility
         )
+        if opts.enable_cost_tolerance:
+            # Intended-but-unwired reference criterion (tol_cost,
+            # solver_options.hpp:20): accepted-step merit decrease below
+            # tol_cost at a feasible point. c.phi is the previous
+            # iteration's accepted merit (invalid at iter 0).
+            cost_converged = jnp.logical_and(
+                jnp.logical_and(
+                    c.iter > 0, jnp.abs(c.phi - m.phi) < opts.tol_cost
+                ),
+                feas < opts.tol_primal_feasibility,
+            )
+            converged = jnp.logical_or(converged, cost_converged)
 
         # 7. Adaptive dual/penalty update (solver.cpp:471-489)
         do_dual = stat < jnp.sqrt(jnp.asarray(opts.tol_stationarity, dtype))

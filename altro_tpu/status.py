@@ -24,6 +24,10 @@ class SolveStatus(enum.IntEnum):
     MERIT_FUN_GRADIENT_TOO_SMALL = 6
     BACKWARD_PASS_FAILED = 7
     LINE_SEARCH_FAILED = 8
+    # Beyond the reference enum (typedefs.hpp:19-27): the wall-clock
+    # budget (AltroOptions.max_solve_time, declared but never enforced
+    # in the reference) is enforced host-side by the ALTROSolver facade.
+    MAX_SOLVE_TIME = 9
 
 
 class ErrorCode(enum.IntEnum):

@@ -159,3 +159,60 @@ def test_range_sentinels():
     assert list(solver._range(3, 7, True)) == [3, 4, 5, 6]
     with pytest.raises(AltroError):
         solver._range(N + 1, 0, True)
+
+
+def test_cost_tolerance_criterion():
+    """enable_cost_tolerance implements the reference's intended-but-
+    unwired tol_cost stopping rule (solver_options.hpp:20 has no read
+    sites): stop with SUCCESS once the accepted-step merit decrease
+    falls below tol_cost at a feasible point."""
+    opts_base = SolverOptions(
+        iterations_max=30, tol_stationarity=0.0, throw_errors=False
+    )
+    solver = build_solver([1.0, 2.0, 0.0, 0.0])
+    solver.set_options(opts_base)
+    solver.initialize()
+    status_off = solver.solve()
+    iters_off = solver.get_iterations()
+
+    solver2 = build_solver([1.0, 2.0, 0.0, 0.0])
+    solver2.set_options(opts_base.replace(enable_cost_tolerance=True, tol_cost=1e-10))
+    solver2.initialize()
+    status_on = solver2.solve()
+    iters_on = solver2.get_iterations()
+
+    # stat tolerance 1e-14 is unreachable: without the cost criterion the
+    # solve exhausts its budget; with it the plateau stops the solve.
+    assert status_off == SolveStatus.MAX_ITERATIONS
+    assert status_on == SolveStatus.SUCCESS
+    assert iters_on < iters_off
+    # and the answers agree (the extra iterations change nothing)
+    np.testing.assert_allclose(
+        solver.get_input(0), solver2.get_input(0), atol=1e-6
+    )
+
+
+def test_max_solve_time_budget():
+    """max_solve_time is enforced host-side via chunked resolves
+    (declared but never enforced by the reference)."""
+    # Zero budget: first chunk runs, then the clock stops the solve.
+    solver = build_solver([1.0, 2.0, 0.0, 0.0])
+    xf = jnp.zeros(NX)
+    solver.set_constraint(lambda x, u, k: x - xf, NX, Cone.ZERO, "goal", N)
+    solver.set_options(SolverOptions(
+        iterations_max=200, tol_stationarity=0.0, max_solve_time=0.0,
+        throw_errors=False,
+    ))
+    solver.initialize()
+    status = solver.solve()
+    assert status == SolveStatus.MAX_SOLVE_TIME
+    assert 0 < solver.get_iterations() <= 10  # one chunk
+    assert np.isfinite(solver.get_state(N)).all()  # best-so-far kept
+
+    # Generous budget: behaves like the untimed solve (SUCCESS, same answer).
+    solver2 = build_solver([1.0, 2.0, 0.0, 0.0])
+    solver2.set_constraint(lambda x, u, k: x - xf, NX, Cone.ZERO, "goal", N)
+    solver2.set_options(SolverOptions(max_solve_time=120.0))
+    solver2.initialize()
+    assert solver2.solve() == SolveStatus.SUCCESS
+    assert np.linalg.norm(solver2.get_state(N)) < 1e-4
