@@ -50,6 +50,12 @@ from altro_tpu.solver import (
 from altro_tpu.api import ALL_INDICES, ALTROSolver, LAST_INDEX
 from altro_tpu.implicit import implicit_dynamics, implicit_midpoint_residual
 from altro_tpu.checkpoint import load_state, save_state
-from altro_tpu import al, checkpoint, io, linesearch, models, mpc, ops, parallel, profiling
+from altro_tpu.export import (
+    call_exported,
+    export_mpc_server,
+    load_exported,
+    save_exported,
+)
+from altro_tpu import al, checkpoint, export, io, linesearch, models, mpc, ops, parallel, profiling
 
 __version__ = "0.1.0"

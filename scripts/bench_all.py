@@ -180,7 +180,14 @@ def main():
         ),
         h=jnp.full(N, 0.05, dtype), x0=jnp.zeros(n, dtype),
     )
-    qopts = dataclasses.replace(f32opts, iterations_max=5, rti_mode=False)
+    # Parallel-grid line search: 2678 -> 4710 solves/s at identical mean
+    # objective vs the sequential Wolfe search (lockstep straggler cost
+    # under vmap; see docs/PERF.md).
+    qopts = dataclasses.replace(
+        f32opts, iterations_max=5, rti_mode=False,
+        use_backtracking_linesearch=True, parallel_linesearch=True,
+        ls_try_cubic_first=False, ls_max_iters=8,
+    )
     runner = vmap_solve(qproblem, qopts)
     key = jax.random.PRNGKey(1)
     x0s = 0.05 * jax.random.normal(key, (Bq, n), dtype)
