@@ -28,6 +28,7 @@ __all__ = [
     "LineSearchResult",
     "wolfe_line_search",
     "parallel_backtracking_search",
+    "parallel_backtracking_search_split",
     "cubic_fit",
     "cubic_argmin",
 ]
@@ -639,6 +640,124 @@ def parallel_backtracking_search(
     ).astype(jnp.int32)
     return LineSearchResult(
         alpha=jnp.where(not_descent, 0.0, alpha),
+        phi=phi_acc,
+        dphi=dphi_acc,
+        code=code,
+        n_iters=jnp.where(ok, k_acc + 1, opts.max_iters).astype(jnp.int32),
+        aux=aux_acc,
+        aux_alpha=jnp.where(ok, alpha_acc, jnp.asarray(jnp.nan, dtype)),
+    )
+
+
+def parallel_backtracking_search_split(
+    merit_value: Callable,
+    complete: Callable,
+    phi0,
+    dphi0,
+    alpha0=1.0,
+    opts: LineSearchOptions = LineSearchOptions(),
+    width: int = 8,
+) -> LineSearchResult:
+    """Phase-split variant of `parallel_backtracking_search`.
+
+    The grid trials are evaluated with a rollout-only merit function
+    (`merit_value(alpha) -> (phi, light_payload)`) that carries no
+    per-step expansion work; the full expansion payload is reconstructed
+    AFTER selection by `complete(light_payload) -> (dphi, full_payload)`,
+    which is knot-parallel (one vmap over the knot axis plus a cheap
+    linear-sensitivity scan). With an expensive-dynamics model the grid
+    rollout thus costs ~the dynamics alone, and the Jacobian/AL-gradient
+    work is paid once (at the accepted step) instead of `width` times
+    inside the sequential rollout.
+
+    Accepted-step parity with `parallel_backtracking_search`: the first
+    trial (alpha0) is accepted on Armijo + strong Wolfe — its dphi comes
+    from completing trial 0's payload (the same forward-sensitivity
+    recurrence the fused rollout evaluates, so the same value up to
+    summation order) — and later trials on Armijo alone. Deep blocks
+    beyond the first are Armijo-only (k >= width > 0), so they stay
+    rollout-only.
+    """
+    dtype = jnp.asarray(phi0).dtype
+    if not jnp.issubdtype(dtype, jnp.floating):
+        dtype = jnp.result_type(float)
+    phi0 = jnp.asarray(phi0, dtype)
+    dphi0 = jnp.asarray(dphi0, dtype)
+    alpha0 = jnp.asarray(alpha0, dtype)
+    beta = jnp.asarray(opts.beta_decrease, dtype)
+    c1 = jnp.asarray(opts.c1, dtype)
+    c2 = jnp.asarray(opts.c2, dtype)
+    slack = jnp.asarray(opts.armijo_slack, dtype)
+    n_blocks = max(1, -(-int(opts.max_iters) // width))  # ceil
+
+    def eval_one(a):
+        phi_t, light = merit_value(a)
+        return jnp.asarray(phi_t, dtype), light
+
+    def armijo_mask(alphas, phis):
+        return phis <= phi0 + c1 * alphas * dphi0 + slack * jnp.abs(phi0)
+
+    # ---- block 0: needs trial 0's dphi for the strong-Wolfe test -------
+    ks0 = jnp.arange(width)
+    alphas0 = alpha0 * beta ** ks0.astype(dtype)
+    phis0, lights0 = jax.vmap(eval_one)(alphas0)
+    armijo0 = armijo_mask(alphas0, phis0)
+    light_first = jax.tree.map(lambda a: a[0], lights0)
+    dphi_first, _ = complete(light_first)
+    wolfe_first = jnp.abs(dphi_first) <= -c2 * dphi0
+    passes0 = jnp.where(ks0 == 0, jnp.logical_and(armijo0, wolfe_first), armijo0)
+    found0 = jnp.any(passes0)
+    idx0 = jnp.argmax(passes0)
+    sel0 = (
+        found0,
+        ks0[idx0],
+        alphas0[idx0],
+        phis0[idx0],
+        jax.tree.map(lambda a: a[idx0], lights0),
+    )
+
+    # ---- deeper blocks: Armijo-only, rollout-only -----------------------
+    if n_blocks == 1:
+        found, k_acc, alpha_acc, phi_acc, light_acc = sel0
+    else:
+
+        def cond(c):
+            return jnp.logical_and(jnp.logical_not(c[0]), c[1] < n_blocks)
+
+        def body(c):
+            block = c[1]
+            ks = block * width + jnp.arange(width)
+            alphas = alpha0 * beta ** ks.astype(dtype)
+            phis, lights = jax.vmap(eval_one)(alphas)
+            passes = armijo_mask(alphas, phis)
+            f = jnp.any(passes)
+            idx = jnp.argmax(passes)
+            return (
+                f,
+                block + 1,
+                ks[idx],
+                alphas[idx],
+                phis[idx],
+                jax.tree.map(lambda a: a[idx], lights),
+            )
+
+        init = (sel0[0], jnp.asarray(1, jnp.int32)) + sel0[1:]
+        found, _, k_acc, alpha_acc, phi_acc, light_acc = jax.lax.while_loop(
+            cond, body, init
+        )
+
+    # Complete the accepted step's payload (once, knot-parallel).
+    dphi_acc, aux_acc = complete(light_acc)
+
+    not_descent = dphi0 >= 0
+    ok = jnp.logical_and(found, jnp.logical_not(not_descent))
+    code = jnp.where(
+        not_descent,
+        int(LineSearchCode.NOT_DESCENT_DIRECTION),
+        jnp.where(ok, int(LineSearchCode.MINIMUM_FOUND), int(LineSearchCode.NO_ERROR)),
+    ).astype(jnp.int32)
+    return LineSearchResult(
+        alpha=jnp.where(not_descent, 0.0, alpha_acc),
         phi=phi_acc,
         dphi=dphi_acc,
         code=code,

@@ -77,6 +77,15 @@ class SolverOptions:
     # the sequential mode with ls_try_cubic_first=False.
     parallel_linesearch: bool = False
     ls_parallel_width: int = 8
+    # Phase-split the parallel line search: grid trials run a
+    # rollout-only merit evaluation (dynamics + AL cost, no per-step
+    # Jacobian/gradient work), and the expansion payload (A, B, lx, lu,
+    # dphi) is reconstructed only at the accepted step as a knot-parallel
+    # vmap plus a linear-sensitivity scan. Same accepted steps; pays the
+    # expansion work once instead of ls_parallel_width times, and off the
+    # sequential chain — the win grows with dynamics/Jacobian cost
+    # (requires parallel_linesearch).
+    ls_phase_split: bool = False
     # Relative Armijo slack: accept phi <= phi0 + c1*a*dphi0 + slack*|phi0|.
     # At f32, merit differences near convergence sit at the roundoff level
     # of phi0, so the exact Armijo test rejects every step and the resolve

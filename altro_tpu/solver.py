@@ -37,6 +37,7 @@ from altro_tpu.tvlqr import _unroll
 from altro_tpu.linesearch import (
     LineSearchOptions,
     parallel_backtracking_search,
+    parallel_backtracking_search_split,
     wolfe_line_search,
 )
 from altro_tpu.options import SolverOptions, Verbosity
@@ -163,6 +164,19 @@ class MeritOut(NamedTuple):
     zproj: Tuple[jnp.ndarray, ...]  # per-group [N+1, p]
 
 
+class MeritOutLight(NamedTuple):
+    """Rollout-only merit payload (no expansions): what a line-search trial
+    needs for acceptance plus what the phase-split completion step needs to
+    reconstruct the full `MeritOut` at the one accepted step."""
+
+    phi: jnp.ndarray
+    x: jnp.ndarray  # [N+1, n]
+    u: jnp.ndarray  # [N, m]
+    y: jnp.ndarray  # [N+1, n]
+    convals: Tuple[jnp.ndarray, ...]
+    zproj: Tuple[jnp.ndarray, ...]
+
+
 def merit_function(
     problem: Problem,
     ref_x,
@@ -243,6 +257,98 @@ def merit_function(
         jnp.concatenate([zs, zN[None]], axis=0) for zs, zN in zip(zproj_st, zproj_N)
     )
     return MeritOut(phi, dphi, x, u, y, A, B, lx, lu, convals, zproj)
+
+
+def merit_rollout_light(
+    problem: Problem, ref_x, ref_u, K, d, P, p, z, rho, alpha, x0
+) -> MeritOutLight:
+    """Closed-loop rollout + AL cost, WITHOUT the per-step expansion work.
+
+    The dynamics-only half of `merit_function`: no Jacobians, no AL
+    gradients, no sensitivity recurrence. Used by the phase-split line
+    search (SolverOptions.ls_phase_split), which evaluates every trial
+    step with this cheap rollout and reconstructs the full expansion
+    payload only at the accepted step (knot-parallel, off the sequential
+    chain). phi is bitwise-identical to merit_function's.
+    """
+    N = problem.N
+    dtype = x0.dtype
+    alpha = jnp.asarray(alpha, dtype)
+    ks = jnp.arange(N, dtype=jnp.int32)
+    z_stage = tuple(zj[:N] for zj in z)
+    z_term = tuple(zj[N] for zj in z)
+
+    def step(carry, inp):
+        x_k, phi = carry
+        k, xr, ur, K_k, d_k, P_k, p_k, z_k = inp
+        dx = x_k - xr
+        u_k = ur - mv(K_k, dx) + alpha * d_k
+        y_k = mv(P_k, dx) + p_k
+        x_next = problem.dyn_step(k, x_k, u_k)
+        cost_k, convals_k, zproj_k = al.al_cost(problem, k, x_k, u_k, z_k, rho, terminal=False)
+        return (x_next, phi + cost_k), (x_k, u_k, y_k, convals_k, zproj_k)
+
+    init = (x0, jnp.asarray(0.0, dtype))
+    xs = (ks, ref_x[:N], ref_u, K, d, P[:N], p[:N], z_stage)
+    (x_N, phi), (x_st, u, y_st, convals_st, zproj_st) = jax.lax.scan(
+        step, init, xs, unroll=_unroll(N)
+    )
+    cost_N, convals_N, zproj_N = al.al_cost(problem, N, x_N, None, z_term, rho, terminal=True)
+    phi = phi + cost_N
+    y_N = mv(P[N], x_N - ref_x[N]) + p[N]
+    x = jnp.concatenate([x_st, x_N[None]], axis=0)
+    y = jnp.concatenate([y_st, y_N[None]], axis=0)
+    convals = tuple(
+        jnp.concatenate([cs, cN[None]], axis=0) for cs, cN in zip(convals_st, convals_N)
+    )
+    zproj = tuple(
+        jnp.concatenate([zs, zN[None]], axis=0) for zs, zN in zip(zproj_st, zproj_N)
+    )
+    return MeritOutLight(phi, x, u, y, convals, zproj)
+
+
+def al_gradients(problem: Problem, x, u, z, rho):
+    """AL cost gradients (lx [N+1, n], lu [N, m]) along a trajectory,
+    vmapped over the knot axis (the gradient half of
+    `_cost_expansions_and_cost`)."""
+    N = problem.N
+    ks = jnp.arange(N, dtype=jnp.int32)
+    z_stage = tuple(zj[:N] for zj in z)
+    z_term = tuple(zj[N] for zj in z)
+    lx_st, lu = jax.vmap(
+        lambda k, xk, uk, zk: al.al_grad(problem, k, xk, uk, zk, rho, terminal=False)
+    )(ks, x[:N], u, z_stage)
+    lx_N, _ = al.al_grad(problem, N, x[N], None, z_term, rho, terminal=True)
+    return jnp.concatenate([lx_st, lx_N[None]], axis=0), lu
+
+
+def complete_merit_payload(
+    problem: Problem, light: MeritOutLight, K, d, z, rho
+) -> Tuple[jnp.ndarray, MeritOut]:
+    """Reconstruct the full `MeritOut` from a light rollout payload.
+
+    Knot-parallel: dynamics expansions and AL gradients are one vmap over
+    the knot axis; the directional derivative dphi/dalpha then follows
+    from the same forward-sensitivity recurrence the in-rollout version
+    uses (merit_function / solver.cpp:303-315), as a scan over cached
+    linear data only. Returns (dphi, MeritOut).
+    """
+    A, B = dynamics_expansions(problem, light.x, light.u)
+    lx, lu = al_gradients(problem, light.x, light.u, z, rho)
+    dphi = merit0_derivative(A, B, K, d, lx, lu)
+    return dphi, MeritOut(
+        phi=light.phi,
+        dphi=dphi,
+        x=light.x,
+        u=light.u,
+        y=light.y,
+        A=A,
+        B=B,
+        lx=lx,
+        lu=lu,
+        convals=light.convals,
+        zproj=light.zproj,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -560,10 +666,28 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                     raise ValueError(
                         "parallel_linesearch requires use_backtracking_linesearch"
                     )
-                ls = parallel_backtracking_search(
-                    merit_full, phi0, dphi0, 1.0, ls_opts, aux0=aux0,
-                    width=opts.ls_parallel_width,
-                )
+                if opts.ls_phase_split:
+
+                    def merit_light(alpha):
+                        out = merit_rollout_light(
+                            problem, c.x, c.u, gains.K, gains.d, gains.P,
+                            gains.p, c.z, c.rho, alpha, problem.x0,
+                        )
+                        return out.phi, out
+
+                    ls = parallel_backtracking_search_split(
+                        merit_light,
+                        lambda light: complete_merit_payload(
+                            problem, light, gains.K, gains.d, c.z, c.rho
+                        ),
+                        phi0, dphi0, 1.0, ls_opts,
+                        width=opts.ls_parallel_width,
+                    )
+                else:
+                    ls = parallel_backtracking_search(
+                        merit_full, phi0, dphi0, 1.0, ls_opts, aux0=aux0,
+                        width=opts.ls_parallel_width,
+                    )
             else:
                 ls = wolfe_line_search(
                     merit_full, None, phi0, dphi0, 1.0, ls_opts, aux0=aux0

@@ -107,6 +107,8 @@ def main():
         penalty_warm_start=warm_rho,
         penalty_warm_start_decay=float(os.environ.get("ALTRO_BENCH_WARM_RHO_DECAY", "1.0")),
         parallel_linesearch=par_ls,
+        ls_phase_split=par_ls
+        and os.environ.get("ALTRO_BENCH_PHASE_SPLIT", "1") == "1",
         ls_try_cubic_first=not par_ls,
         ls_parallel_width=int(os.environ.get("ALTRO_BENCH_PAR_LS_WIDTH", "8")),
         # One grid block only: deeper backtracks (beta^8..beta^24, the

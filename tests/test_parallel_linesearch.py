@@ -174,3 +174,66 @@ def test_requires_backtracking_mode():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "use_backtracking_linesearch" in str(e)
+
+
+def test_phase_split_whole_solve_parity():
+    """ls_phase_split changes the evaluation schedule, not the result:
+    identical iterates, counts, and stats vs the fused parallel search
+    through a constraint-active solve."""
+    problem = _bounded_di_problem()
+    base = SolverOptions(
+        iterations_max=60, use_backtracking_linesearch=True,
+        ls_try_cubic_first=False, throw_errors=False, parallel_linesearch=True,
+    )
+    split_opts = base.replace(ls_phase_split=True)
+    s_par, st_par = jax.jit(solve, static_argnums=2)(problem, init_state(problem), base)
+    s_spl, st_spl = jax.jit(solve, static_argnums=2)(problem, init_state(problem), split_opts)
+    assert int(st_spl.iterations) == int(st_par.iterations)
+    assert int(st_spl.status) == int(st_par.status)
+    assert int(st_spl.ls_iterations) == int(st_par.ls_iterations)
+    np.testing.assert_allclose(np.asarray(s_spl.u), np.asarray(s_par.u), rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_spl.x), np.asarray(s_par.x), rtol=0, atol=1e-10)
+    np.testing.assert_allclose(
+        float(st_spl.stationarity), float(st_par.stationarity), rtol=1e-8, atol=1e-12
+    )
+
+
+def test_phase_split_light_rollout_matches_merit_function():
+    """merit_rollout_light's phi/trajectory equal merit_function's, and
+    complete_merit_payload reconstructs the same expansions and dphi."""
+    from altro_tpu.solver import (
+        al_expansions,
+        complete_merit_payload,
+        merit_function,
+        merit_rollout_light,
+        open_loop_rollout,
+    )
+    from altro_tpu.solver import backward_adaptive
+
+    problem = _bounded_di_problem()
+    state = init_state(problem)
+    x = open_loop_rollout(problem, state.u)
+    A, B, lx, lu, lxx, luu, lux = al_expansions(problem, x, state.u, state.z, state.rho)
+    gains, _ = backward_adaptive(
+        SolverOptions(), A, B, lxx, luu, lux, lx, lu, jnp.asarray(0.0, x.dtype)
+    )
+    for alpha in (1.0, 0.25):
+        full = merit_function(
+            problem, x, state.u, gains.K, gains.d, gains.P, gains.p,
+            state.z, state.rho, alpha, problem.x0, with_derivative=True,
+        )
+        light = merit_rollout_light(
+            problem, x, state.u, gains.K, gains.d, gains.P, gains.p,
+            state.z, state.rho, alpha, problem.x0,
+        )
+        np.testing.assert_allclose(float(light.phi), float(full.phi), rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(light.x), np.asarray(full.x))
+        np.testing.assert_array_equal(np.asarray(light.u), np.asarray(full.u))
+        np.testing.assert_array_equal(np.asarray(light.y), np.asarray(full.y))
+        dphi, rec = complete_merit_payload(
+            problem, light, gains.K, gains.d, state.z, state.rho
+        )
+        np.testing.assert_allclose(float(dphi), float(full.dphi), rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(rec.A), np.asarray(full.A), rtol=0, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(rec.lx), np.asarray(full.lx), rtol=0, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(rec.lu), np.asarray(full.lu), rtol=0, atol=1e-14)
