@@ -360,14 +360,18 @@ class ALTROSolver:
         return dyn, jac
 
     def initialize(self):
+        # Precondition checks surface in the reference's order
+        # (KnotPointData::Initialize, knotpoint_data.cpp:229-276, pinned by
+        # knotpoint_data_test.cpp:71-93): dimensions -> timestep ->
+        # dynamics -> cost.
         self._require_dims()
+        if np.any(self._h <= 0):
+            raise AltroError(ErrorCode.TIMESTEP_NOT_POSITIVE)
+        dyn, jac = self._build_dynamics()
         if self._cost_kind is None:
             raise AltroError(ErrorCode.COST_FUN_NOT_SET)
         if self._x0 is None:
             self._x0 = np.zeros(self.n)
-        if np.any(self._h <= 0):
-            raise AltroError(ErrorCode.TIMESTEP_NOT_POSITIVE)
-        dyn, jac = self._build_dynamics()
         self._problem = Problem(
             N=self.N, n=self.n, m=self.m, dynamics=dyn, dynamics_jac=jac,
             constraints=tuple(self._constraints), cost=self._build_cost(),

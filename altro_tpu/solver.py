@@ -655,7 +655,16 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         aux0 = _alpha0_merit_out(problem, c, A, B, lx, lu, gains, phi0, dphi0)
         if opts.rti_mode:
             one = jnp.asarray(1.0, dtype)
-            _, _, m_rti = merit_full(one)
+            if opts.ls_phase_split:
+                light = merit_rollout_light(
+                    problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p,
+                    c.z, c.rho, one, problem.x0,
+                )
+                _, m_rti = complete_merit_payload(
+                    problem, light, gains.K, gains.d, c.z, c.rho
+                )
+            else:
+                _, _, m_rti = merit_full(one)
             alpha = one
             ls_failed = jnp.asarray(False)
             ls_iters = jnp.asarray(1, jnp.int32)

@@ -152,6 +152,12 @@ def main():
             use_backtracking_linesearch=True,
             iterations_max=20 if N > 100 else 30,
             symmetrize_ctg=N > 100,
+            # Long horizon: merit rollouts dominate (docs/PERF.md); the
+            # phase-split grid search keeps the N=500 rollout dynamics-only.
+            parallel_linesearch=N > 100,
+            ls_phase_split=N > 100,
+            ls_try_cubic_first=N <= 100,
+            ls_max_iters=8 if N > 100 else 25,
         )
         extra = {"note": "fixed-20-iteration long-horizon throughput"} if N > 100 else None
         run(name, problem, state, opts_i, extra)
@@ -182,11 +188,13 @@ def main():
     )
     # Parallel-grid line search: 2678 -> 4710 solves/s at identical mean
     # objective vs the sequential Wolfe search (lockstep straggler cost
-    # under vmap; see docs/PERF.md).
+    # under vmap); phase-split doubles it again by keeping the grid
+    # rollouts dynamics-only — the RK4-quadrotor Jacobian work moves to
+    # one knot-parallel completion at the accepted step (docs/PERF.md).
     qopts = dataclasses.replace(
         f32opts, iterations_max=5, rti_mode=False,
         use_backtracking_linesearch=True, parallel_linesearch=True,
-        ls_try_cubic_first=False, ls_max_iters=8,
+        ls_phase_split=True, ls_try_cubic_first=False, ls_max_iters=8,
     )
     runner = vmap_solve(qproblem, qopts)
     key = jax.random.PRNGKey(1)

@@ -134,6 +134,29 @@ def test_mpc_methods():
     assert solver.solve() in (SolveStatus.SUCCESS, SolveStatus.MAX_ITERATIONS)
 
 
+def test_initialize_precondition_order():
+    """Preconditions surface in the reference's order (dimension ->
+    timestep -> dynamics -> cost; knotpoint_data_test.cpp:71-93)."""
+    from altro_tpu.status import ErrorCode
+
+    solver = ALTROSolver(N)
+    with pytest.raises(AltroError) as e:
+        solver.initialize()
+    assert e.value.code == ErrorCode.DIMENSION_UNKNOWN
+    solver.set_dimension(NX, NU)
+    with pytest.raises(AltroError) as e:
+        solver.initialize()
+    assert e.value.code == ErrorCode.TIMESTEP_NOT_POSITIVE
+    solver.set_time_step(0.1)
+    with pytest.raises(AltroError) as e:
+        solver.initialize()
+    assert e.value.code == ErrorCode.DYNAMICS_FUN_NOT_SET
+    solver.set_explicit_dynamics(lambda x, u, h, k: x + h * jnp.concatenate([x[2:], u]))
+    with pytest.raises(AltroError) as e:
+        solver.initialize()
+    assert e.value.code == ErrorCode.COST_FUN_NOT_SET
+
+
 def test_error_paths():
     solver = ALTROSolver(N)
     with pytest.raises(AltroError):

@@ -185,17 +185,21 @@ def test_phase_split_whole_solve_parity():
         iterations_max=60, use_backtracking_linesearch=True,
         ls_try_cubic_first=False, throw_errors=False, parallel_linesearch=True,
     )
-    split_opts = base.replace(ls_phase_split=True)
-    s_par, st_par = jax.jit(solve, static_argnums=2)(problem, init_state(problem), base)
-    s_spl, st_spl = jax.jit(solve, static_argnums=2)(problem, init_state(problem), split_opts)
-    assert int(st_spl.iterations) == int(st_par.iterations)
-    assert int(st_spl.status) == int(st_par.status)
-    assert int(st_spl.ls_iterations) == int(st_par.ls_iterations)
-    np.testing.assert_allclose(np.asarray(s_spl.u), np.asarray(s_par.u), rtol=0, atol=1e-10)
-    np.testing.assert_allclose(np.asarray(s_spl.x), np.asarray(s_par.x), rtol=0, atol=1e-10)
-    np.testing.assert_allclose(
-        float(st_spl.stationarity), float(st_par.stationarity), rtol=1e-8, atol=1e-12
-    )
+    # ls_max_iters=25 exercises the multi-block path; 8 (== width) the
+    # single-block merged-completion path the bench uses.
+    for ls_iters in (25, 8):
+        b = base.replace(ls_max_iters=ls_iters)
+        split_opts = b.replace(ls_phase_split=True)
+        s_par, st_par = jax.jit(solve, static_argnums=2)(problem, init_state(problem), b)
+        s_spl, st_spl = jax.jit(solve, static_argnums=2)(problem, init_state(problem), split_opts)
+        assert int(st_spl.iterations) == int(st_par.iterations)
+        assert int(st_spl.status) == int(st_par.status)
+        assert int(st_spl.ls_iterations) == int(st_par.ls_iterations)
+        np.testing.assert_allclose(np.asarray(s_spl.u), np.asarray(s_par.u), rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(s_spl.x), np.asarray(s_par.x), rtol=0, atol=1e-10)
+        np.testing.assert_allclose(
+            float(st_spl.stationarity), float(st_par.stationarity), rtol=1e-8, atol=1e-12
+        )
 
 
 def test_phase_split_light_rollout_matches_merit_function():
