@@ -48,6 +48,7 @@ from altro_tpu.solver import (
     total_cost,
 )
 from altro_tpu.api import ALL_INDICES, ALTROSolver, LAST_INDEX
+from altro_tpu.diff import implicit_solve
 from altro_tpu.implicit import implicit_dynamics, implicit_midpoint_residual
 from altro_tpu.checkpoint import load_state, save_state
 from altro_tpu.export import (
