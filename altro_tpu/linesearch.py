@@ -657,6 +657,7 @@ def parallel_backtracking_search_split(
     alpha0=1.0,
     opts: LineSearchOptions = LineSearchOptions(),
     width: int = 8,
+    armijo_only: bool = False,
 ) -> LineSearchResult:
     """Phase-split variant of `parallel_backtracking_search`.
 
@@ -677,6 +678,11 @@ def parallel_backtracking_search_split(
     summation order) — and later trials on Armijo alone. Deep blocks
     beyond the first are Armijo-only (k >= width > 0), so they stay
     rollout-only.
+
+    armijo_only=True (SolverOptions.ls_armijo_only) accepts trial 0 on
+    Armijo alone and completes the accepted payload without its dphi
+    sensitivity scan (result.dphi = NaN) — removing both sequential
+    completion scans; only stats consume the accepted-step dphi.
     """
     dtype = jnp.asarray(phi0).dtype
     if not jnp.issubdtype(dtype, jnp.floating):
@@ -698,14 +704,20 @@ def parallel_backtracking_search_split(
         return phis <= phi0 + c1 * alphas * dphi0 + slack * jnp.abs(phi0)
 
     # ---- block 0: needs trial 0's dphi for the strong-Wolfe test -------
+    # (unless armijo_only, which skips that completion entirely)
     ks0 = jnp.arange(width)
     alphas0 = alpha0 * beta ** ks0.astype(dtype)
     phis0, lights0 = jax.vmap(eval_one)(alphas0)
     armijo0 = armijo_mask(alphas0, phis0)
-    light_first = jax.tree.map(lambda a: a[0], lights0)
-    dphi_first, _ = complete(light_first)
-    wolfe_first = jnp.abs(dphi_first) <= -c2 * dphi0
-    passes0 = jnp.where(ks0 == 0, jnp.logical_and(armijo0, wolfe_first), armijo0)
+    if armijo_only:
+        passes0 = armijo0
+    else:
+        light_first = jax.tree.map(lambda a: a[0], lights0)
+        dphi_first, _ = complete(light_first)
+        wolfe_first = jnp.abs(dphi_first) <= -c2 * dphi0
+        passes0 = jnp.where(
+            ks0 == 0, jnp.logical_and(armijo0, wolfe_first), armijo0
+        )
     found0 = jnp.any(passes0)
     idx0 = jnp.argmax(passes0)
     sel0 = (
@@ -747,7 +759,7 @@ def parallel_backtracking_search_split(
         )
 
     # Complete the accepted step's payload (once, knot-parallel).
-    dphi_acc, aux_acc = complete(light_acc)
+    dphi_acc, aux_acc = complete(light_acc, with_dphi=not armijo_only)
 
     not_descent = dphi0 >= 0
     ok = jnp.logical_and(found, jnp.logical_not(not_descent))

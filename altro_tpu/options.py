@@ -86,6 +86,21 @@ class SolverOptions:
     # sequential chain — the win grows with dynamics/Jacobian cost
     # (requires parallel_linesearch).
     ls_phase_split: bool = False
+    # Armijo-only acceptance for the phase-split parallel line search:
+    # drop the strong-Wolfe curvature test on the first trial (and with it
+    # the exact-dphi payload completion). The accepted step's directional
+    # derivative is what the curvature test — and nothing else on the
+    # solve path — consumes: the next iteration's dphi(0) comes from the
+    # backward pass's expected-decrease identity, so skipping it removes
+    # the two remaining sequential sensitivity scans per solver iteration
+    # (the trial-0 completion and the accepted-step completion; see
+    # docs/PERF.md). SolveStats.dphi reports NaN in this mode. Armijo-only
+    # backtracking is the standard globalization for AL-iLQR; the
+    # difference from the default is only that a full step satisfying
+    # Armijo but not curvature is accepted instead of shortened. Requires
+    # ls_phase_split (or rti_mode, where it skips the payload's dphi
+    # reconstruction outright).
+    ls_armijo_only: bool = False
     # Relative Armijo slack: accept phi <= phi0 + c1*a*dphi0 + slack*|phi0|.
     # At f32, merit differences near convergence sit at the roundoff level
     # of phi0, so the exact Armijo test rejects every step and the resolve

@@ -323,7 +323,7 @@ def al_gradients(problem: Problem, x, u, z, rho):
 
 
 def complete_merit_payload(
-    problem: Problem, light: MeritOutLight, K, d, z, rho
+    problem: Problem, light: MeritOutLight, K, d, z, rho, with_dphi: bool = True
 ) -> Tuple[jnp.ndarray, MeritOut]:
     """Reconstruct the full `MeritOut` from a light rollout payload.
 
@@ -332,10 +332,19 @@ def complete_merit_payload(
     from the same forward-sensitivity recurrence the in-rollout version
     uses (merit_function / solver.cpp:303-315), as a scan over cached
     linear data only. Returns (dphi, MeritOut).
+
+    with_dphi=False (SolverOptions.ls_armijo_only) skips that sensitivity
+    scan — the only sequential piece of the completion — and reports
+    dphi = NaN; nothing on the solve path consumes it then (the next
+    iteration's dphi(0) is the backward pass's expected-decrease
+    identity).
     """
     A, B = dynamics_expansions(problem, light.x, light.u)
     lx, lu = al_gradients(problem, light.x, light.u, z, rho)
-    dphi = merit0_derivative(A, B, K, d, lx, lu)
+    if with_dphi:
+        dphi = merit0_derivative(A, B, K, d, lx, lu)
+    else:
+        dphi = jnp.asarray(jnp.nan, light.phi.dtype)
     return dphi, MeritOut(
         phi=light.phi,
         dphi=dphi,
@@ -564,6 +573,12 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
     """
     N = problem.N
     dtype = problem.x0.dtype
+    if opts.ls_armijo_only and not (opts.rti_mode or opts.ls_phase_split):
+        raise ValueError(
+            "ls_armijo_only requires ls_phase_split (or rti_mode): without "
+            "the phase-split line search the directional derivative is "
+            "computed inside the merit rollout and cannot be skipped"
+        )
     ls_opts = LineSearchOptions(
         c1=opts.ls_c1,
         c2=opts.ls_c2,
@@ -661,7 +676,8 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                     c.z, c.rho, one, problem.x0,
                 )
                 _, m_rti = complete_merit_payload(
-                    problem, light, gains.K, gains.d, c.z, c.rho
+                    problem, light, gains.K, gains.d, c.z, c.rho,
+                    with_dphi=not opts.ls_armijo_only,
                 )
             else:
                 _, _, m_rti = merit_full(one)
@@ -686,11 +702,13 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
 
                     ls = parallel_backtracking_search_split(
                         merit_light,
-                        lambda light: complete_merit_payload(
-                            problem, light, gains.K, gains.d, c.z, c.rho
+                        lambda light, with_dphi=True: complete_merit_payload(
+                            problem, light, gains.K, gains.d, c.z, c.rho,
+                            with_dphi=with_dphi,
                         ),
                         phi0, dphi0, 1.0, ls_opts,
                         width=opts.ls_parallel_width,
+                        armijo_only=opts.ls_armijo_only,
                     )
                 else:
                     ls = parallel_backtracking_search(

@@ -124,6 +124,16 @@ def main():
         # (benign RTI-like fallbacks), not roundoff — so exact Armijo
         # stays the default.
         ls_armijo_slack=float(os.environ.get("ALTRO_BENCH_ARMIJO_SLACK", "0.0")),
+        # Armijo-only acceptance (skip the strong-Wolfe curvature test on
+        # the full step and with it the two sequential dphi-completion
+        # scans per iteration) — see SolverOptions.ls_armijo_only.
+        # Default ON for the full solver: +10% throughput at identical
+        # closed-loop error (0.4855) and HIGHER resolve success (98.75%
+        # vs 98.51%). Default OFF in RTI mode, where the dphi scan fuses
+        # into the completion for free and removing it measured ~3%
+        # SLOWER (layout/fusion change), docs/PERF.md.
+        ls_armijo_only=(rti or (par_ls and os.environ.get("ALTRO_BENCH_PHASE_SPLIT", "1") == "1"))
+        and os.environ.get("ALTRO_BENCH_ARMIJO_ONLY", "0" if rti else "1") == "1",
     )
 
     # Sliding tracking windows (shared across lanes), precomputed on host

@@ -241,3 +241,56 @@ def test_phase_split_light_rollout_matches_merit_function():
         np.testing.assert_allclose(np.asarray(rec.A), np.asarray(full.A), rtol=0, atol=1e-14)
         np.testing.assert_allclose(np.asarray(rec.lx), np.asarray(full.lx), rtol=0, atol=1e-14)
         np.testing.assert_allclose(np.asarray(rec.lu), np.asarray(full.lu), rtol=0, atol=1e-14)
+
+
+def test_armijo_only_converges_and_skips_dphi():
+    """ls_armijo_only: same constraint-active solve converges to the same
+    solution quality with the dphi completions skipped (stats.dphi NaN)."""
+    problem = _bounded_di_problem()
+    base = SolverOptions(
+        iterations_max=60, use_backtracking_linesearch=True,
+        ls_try_cubic_first=False, throw_errors=False, parallel_linesearch=True,
+        ls_phase_split=True,
+    )
+    s_ref, st_ref = jax.jit(solve, static_argnums=2)(problem, init_state(problem), base)
+    ao = base.replace(ls_armijo_only=True)
+    s_ao, st_ao = jax.jit(solve, static_argnums=2)(problem, init_state(problem), ao)
+    assert int(st_ao.status) == 0  # SUCCESS
+    assert np.isnan(float(st_ao.dphi))
+    assert not np.isnan(float(st_ref.dphi))
+    # Same stationary point (the accepted-step schedule may differ when a
+    # full step passes Armijo but not curvature; here it converges to the
+    # same solution)
+    np.testing.assert_allclose(np.asarray(s_ao.u), np.asarray(s_ref.u), rtol=0, atol=1e-6)
+    assert float(st_ao.stationarity) < 1e-4
+    assert np.max(np.abs(np.asarray(s_ao.u))) <= 0.5 + 1e-4
+
+
+def test_armijo_only_requires_phase_split():
+    problem = _bounded_di_problem(N=4)
+    bad = SolverOptions(
+        parallel_linesearch=True, use_backtracking_linesearch=True,
+        ls_armijo_only=True,
+    )
+    try:
+        solve(problem, init_state(problem), bad)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "ls_phase_split" in str(e)
+
+
+def test_armijo_only_rti_mode():
+    """RTI + ls_armijo_only: identical iterates to plain RTI (RTI never
+    consumes dphi), with the payload's dphi reconstruction skipped."""
+    problem = _bounded_di_problem()
+    rti = SolverOptions(
+        iterations_max=1, rti_mode=True, throw_errors=False,
+        ls_phase_split=True,
+    )
+    s_ref, st_ref = jax.jit(solve, static_argnums=2)(problem, init_state(problem), rti)
+    s_ao, st_ao = jax.jit(solve, static_argnums=2)(
+        problem, init_state(problem), rti.replace(ls_armijo_only=True)
+    )
+    np.testing.assert_array_equal(np.asarray(s_ao.u), np.asarray(s_ref.u))
+    np.testing.assert_array_equal(np.asarray(s_ao.x), np.asarray(s_ref.x))
+    assert np.isnan(float(st_ao.dphi))
