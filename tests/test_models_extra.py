@@ -84,3 +84,25 @@ def test_iteration_callback():
     assert int(stats.status) == SolveStatus.SUCCESS
     assert len(seen) == int(stats.iterations) == 3
     assert [s[0] for s in seen] == [0, 1, 2]
+
+
+def test_quadrotor_analytic_jacobians_match_autodiff():
+    """quadrotor_jacobians (hand-derived, scalar-form) equals jacfwd of
+    the model to roundoff — an independent oracle for the scalar-form
+    rewrite of the dynamics (the TPU-dense formulation, see module doc)."""
+    import jax
+
+    from altro_tpu.models.quadrotor import quadrotor_jacobians
+
+    f = quadrotor_continuous()
+    jac = quadrotor_jacobians()
+    key = jax.random.PRNGKey(7)
+    for _ in range(10):
+        k1, k2, key = jax.random.split(key, 3)
+        x = 0.7 * jax.random.normal(k1, (12,))
+        u = 2.4 + 0.5 * jax.random.normal(k2, (4,))
+        Aa, Ba = jac(x, u)
+        Aj = jax.jacfwd(f)(x, u)
+        Bj = jax.jacfwd(f, argnums=1)(x, u)
+        np.testing.assert_allclose(np.asarray(Aa), np.asarray(Aj), rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Ba), np.asarray(Bj), rtol=0, atol=1e-12)
