@@ -51,6 +51,7 @@ from altro_tpu.api import ALL_INDICES, ALTROSolver, LAST_INDEX
 from altro_tpu.diff import implicit_solve
 from altro_tpu.implicit import implicit_dynamics, implicit_midpoint_residual
 from altro_tpu.checkpoint import load_state, save_state
+from altro_tpu.platform import ensure_backend
 from altro_tpu.export import (
     call_exported,
     export_mpc_server,

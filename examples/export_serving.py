@@ -30,8 +30,11 @@ from altro_tpu.io.scotty import synthetic_scotty
 from altro_tpu.models.bicycle import bicycle_continuous
 from altro_tpu.models.integrators import midpoint
 from altro_tpu.options import SolverOptions
+from altro_tpu.platform import ensure_backend
 from altro_tpu.problem import ConstraintSpec, Problem, lqr_cost_from_reference
 from altro_tpu.solver import init_state
+
+ensure_backend()
 
 
 def build_artifact(path: str):
