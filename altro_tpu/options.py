@@ -40,6 +40,17 @@ class SolverOptions:
     enable_cost_tolerance: bool = False
     tol_primal_feasibility: float = 1e-4
     tol_stationarity: float = 1e-4
+    # Relative stationarity criterion (no reference analog; off by
+    # default so iteration-count oracles are bit-exact). When > 0 the
+    # stationarity test becomes
+    #   stat < max(tol_stationarity, tol_stationarity_rel * scale),
+    # scale = max(|lx|, |lu|, |y|)_inf at the candidate — the standard
+    # relative-KKT form. Motivation: the max-norm KKT residual
+    # lx + A'y⁺ - y cancels quantities of magnitude `scale`, so in f32
+    # it has a roundoff floor ~ eps_f32 * scale * O(sqrt(N)); an absolute
+    # tolerance below that floor makes well-solved large-scale lanes
+    # (e.g. the quadrotor, scale ~ 20) report MAX_ITERATIONS forever.
+    tol_stationarity_rel: float = 0.0
     tol_meritfun_gradient: float = 1e-8
     max_solve_time: float = float("inf")
 

@@ -750,8 +750,18 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         # 6. Optimality criteria at the candidate (solver.cpp:456-469)
         stat = stationarity(m.A, m.B, m.lx, m.lu, m.y)
         feas = feasibility(problem, m.convals)
+        stat_tol = jnp.asarray(opts.tol_stationarity, dtype)
+        if opts.tol_stationarity_rel > 0:
+            # Relative-KKT form (SolverOptions.tol_stationarity_rel): the
+            # residual cancels quantities of scale max(|lx|,|lu|,|y|), so
+            # its f32 floor is proportional to that scale.
+            scale = jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(m.lx)), jnp.max(jnp.abs(m.lu))),
+                jnp.max(jnp.abs(m.y)),
+            )
+            stat_tol = jnp.maximum(stat_tol, opts.tol_stationarity_rel * scale)
         converged = jnp.logical_and(
-            jnp.abs(stat) < opts.tol_stationarity, feas < opts.tol_primal_feasibility
+            jnp.abs(stat) < stat_tol, feas < opts.tol_primal_feasibility
         )
         if opts.enable_cost_tolerance:
             # Intended-but-unwired reference criterion (tol_cost,

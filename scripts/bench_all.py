@@ -157,7 +157,13 @@ def main():
             parallel_linesearch=N > 100,
             ls_phase_split=N > 100,
             ls_try_cubic_first=N <= 100,
-            ls_max_iters=8 if N > 100 else 25,
+            # 3 grid blocks (alpha down to beta^23): the N=500 f32 solve
+            # needs steps below beta^7 once the position-only reference's
+            # inconsistency dominates; a single solve pays extra blocks
+            # only on the iterations that actually exhaust block 0 (unlike
+            # the B=1024 batched rows, where any lane exhausting block 0
+            # makes every lane pay — docs/PERF.md).
+            ls_max_iters=24 if N > 100 else 25,
         )
         extra = {"note": "fixed-20-iteration long-horizon throughput"} if N > 100 else None
         run(name, problem, state, opts_i, extra)
@@ -168,7 +174,7 @@ def main():
     from altro_tpu.parallel.batch import batch_init_state, vmap_solve
 
     N, n, m = 30, 12, 4
-    Bq = int(os.environ.get("ALTRO_BENCH_QUAD_BATCH", "256"))
+    Bq = int(os.environ.get("ALTRO_BENCH_QUAD_BATCH", "1024"))
     hover = 0.5 * 9.81 / 4.0
     xf = np.zeros(n)
     xf[:3] = [1.0, 0.0, 1.0]
@@ -191,32 +197,89 @@ def main():
     # under vmap); phase-split doubles it again by keeping the grid
     # rollouts dynamics-only — the RK4-quadrotor Jacobian work moves to
     # one knot-parallel completion at the accepted step (docs/PERF.md).
-    # iterations_max=15 lets the batch CONVERGE (B=256 on TPU f32: p50 11
-    # iterations, ~93% of lanes reach the 1e-3 tolerances; a handful stall
-    # at the f32 stationarity floor ~2e-3). The earlier cap of 5 truncated
-    # every lane at MAX_ITERATIONS, making the row a fixed-work rate
-    # rather than a converged-resolve rate.
+    # iterations_max=15 lets cold lanes CONVERGE (TPU f32: p50 11
+    # iterations, ~95% of lanes reach the 1e-3 tolerances; a handful
+    # stall at the f32 stationarity floor ~2e-3).
     qopts = dataclasses.replace(
         f32opts, iterations_max=15, rti_mode=False,
         use_backtracking_linesearch=True, parallel_linesearch=True,
         ls_phase_split=True, ls_try_cubic_first=False, ls_max_iters=8,
+        penalty_warm_start=True,
+        # Relative-KKT stationarity: the quadrotor's cost scale (terminal
+        # Q ~ 10, duals ~ 20) puts the f32 absolute-residual floor near
+        # 2e-3 > tol_stationarity — well-solved lanes would otherwise
+        # burn to iterations_max and (under vmap) make EVERY lane pay.
+        tol_stationarity_rel=1e-5,
     )
-    runner = vmap_solve(qproblem, qopts)
+    # Closed-loop waypoint MPC, fused into one jitted lax.scan over ticks
+    # (same methodology as the headline bicycle workload — per-dispatch
+    # host timing through the remote-TPU tunnel adds ~20 ms/call and
+    # understates the rate ~8x, docs/PERF.md). Each lane flies its
+    # quadrotor through a square of waypoints; the waypoint (so the cost's
+    # linear terms) switches every WAYP ticks, the resolve is warm-started
+    # from the shifted previous solution.
+    from altro_tpu.mpc import shift_trajectory
+
+    QNSIM, WAYP = 100, 25
+    qdyn = qproblem.dynamics
+    waypoints = np.zeros((4, n))
+    waypoints[:, :3] = [[1.0, 0.0, 1.0], [1.0, 1.0, 1.5], [0.0, 1.0, 1.0],
+                        [0.0, 0.0, 0.5]]
+    # Linear cost terms per waypoint: q = -Q xref, c = 0.5 xref'Q xref + cu
+    c_u = 0.5 * float(np.full(m, hover) @ (np.full(m, 1e-2) * np.full(m, hover)))
+    q_wp = jnp.asarray(-(Qd[None, :, :] * waypoints[:, None, :]), dtype)
+    c_wp_ = 0.5 * np.sum(Qd[None, :, :] * waypoints[:, None, :] ** 2, axis=2)
+    c_wp_[:, :N] += c_u
+    c_wp = jnp.asarray(c_wp_, dtype)
+    wp_idx = jnp.asarray((np.arange(QNSIM) // WAYP) % 4, jnp.int32)
+
     key = jax.random.PRNGKey(1)
-    x0s = 0.05 * jax.random.normal(key, (Bq, n), dtype)
+    qx0 = 0.05 * jax.random.normal(key, (Bq, n), dtype)
     qstates = batch_init_state(qproblem, Bq)
     qstates = dataclasses.replace(qstates, u=jnp.full((Bq, N, m), hover, dtype))
-    # Warm the states once, then time warm resolves
-    qstates, _ = jax.block_until_ready(runner(x0s, qstates))
-    tstats = time_fn(runner, x0s, qstates, iters=5)
-    _, qstats = jax.block_until_ready(runner(x0s, qstates))
+
+    from altro_tpu.solver import solve as S_solve
+
+    def qresolve(x0, q, c, state):
+        cost = dataclasses.replace(qproblem.cost, q=q, c=c)
+        prob = dataclasses.replace(qproblem, x0=x0, cost=cost)
+        return S_solve(prob, state, qopts)
+
+    def qtick(carry, t):
+        x_true, states = carry
+        q_t = jnp.broadcast_to(q_wp[wp_idx[t]], (Bq, N + 1, n))
+        c_t = jnp.broadcast_to(c_wp[wp_idx[t]], (Bq, N + 1))
+        states, stats = jax.vmap(qresolve)(x_true, q_t, c_t, states)
+        u0 = states.u[:, 0]
+        x_true = jax.vmap(lambda x, u: qdyn(x, u, jnp.asarray(0.05, dtype), 0))(
+            x_true, u0)
+        states = jax.vmap(shift_trajectory)(states)
+        return (x_true, states), (stats.iterations, stats.status)
+
+    @jax.jit
+    def qrun(x_true, states):
+        (x_true, states), (iters, statuses) = jax.lax.scan(
+            qtick, (x_true, states), jnp.arange(QNSIM))
+        return x_true, states, iters, statuses
+
+    import time as _time
+
+    out = jax.block_until_ready(qrun(qx0, qstates))
+    t0 = _time.perf_counter()
+    x_true_f, _, qiters, qstatuses = jax.block_until_ready(qrun(qx0, qstates))
+    q_elapsed = _time.perf_counter() - t0
+    final_wp = waypoints[int(np.asarray(wp_idx)[-1])]
+    final_dist = float(jnp.mean(jnp.linalg.norm(
+        x_true_f[:, :3] - jnp.asarray(final_wp[:3], dtype)[None, :], axis=1)))
     row = {
-        "config": f"quadrotor_batched_resolves_B{Bq}",
+        "config": f"quadrotor_waypoint_mpc_B{Bq}",
         "platform": platform,
-        "p50_ms": round(tstats["p50_ms"], 3),
-        "solves_per_s": round(Bq / (tstats["p50_ms"] / 1e3), 1),
-        "mean_iterations": round(float(jnp.mean(qstats.iterations)), 2),
-        "success_rate": round(float(jnp.mean(qstats.status == 0)), 4),
+        "solves_per_s": round(Bq * QNSIM / q_elapsed, 1),
+        "batch_resolve_latency_ms": round(q_elapsed / QNSIM * 1e3, 3),
+        "ticks": QNSIM,
+        "mean_iterations": round(float(jnp.mean(qiters)), 2),
+        "success_rate": round(float(jnp.mean(qstatuses == 0)), 4),
+        "mean_final_waypoint_dist": round(final_dist, 4),
     }
     results.append(row)
     print(json.dumps(row), flush=True)

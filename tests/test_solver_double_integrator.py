@@ -119,3 +119,47 @@ def test_soc_control_bound():
     assert float(jnp.linalg.norm(state.x[N])) < 1e-4
     np.testing.assert_allclose(float(jnp.linalg.norm(state.u[0])), 1.0, atol=1e-2)
     assert int(stats.iterations) == 9
+
+
+def test_relative_stationarity_tolerance():
+    """SolverOptions.tol_stationarity_rel (no reference analog).
+
+    With a large cost scale in f32, the max-norm KKT residual has a
+    roundoff floor proportional to the gradient scale, so a small
+    absolute tolerance can never be met even at the exact optimum; the
+    relative criterion accepts. Default (0.0) must preserve the
+    absolute-only behavior (the exact-iteration oracles above pin that).
+    """
+    x0 = [1.0, 2.0, 0.0, 0.0]
+    scale = 1e4
+    cost = DiagonalCost(
+        Q=jnp.full((N + 1, NX), scale, jnp.float32),
+        R=jnp.full((N + 1, NU), 1e-2 * scale, jnp.float32),
+        q=jnp.zeros((N + 1, NX), jnp.float32),
+        r=jnp.zeros((N + 1, NU), jnp.float32),
+        c=jnp.zeros(N + 1, jnp.float32),
+    )
+    problem = Problem(
+        N=N, n=NX, m=NU,
+        dynamics=double_integrator_dynamics(DIM), dynamics_jac=None,
+        constraints=(),
+        cost=cost, h=jnp.full(N, H, jnp.float32),
+        x0=jnp.asarray(x0, jnp.float32),
+    )
+    # Absolute-only: the f32 residual floor (~ eps * scale) sits far
+    # above 1e-3, so the solve exhausts iterations_max.
+    abs_opts = SolverOptions(
+        iterations_max=15, tol_stationarity=1e-3, throw_errors=False
+    )
+    _, stats_abs = solve(problem, init_state(problem), abs_opts)
+    assert int(stats_abs.status) == SolveStatus.MAX_ITERATIONS
+    assert float(stats_abs.stationarity) > 1e-3
+
+    # Relative criterion: same problem converges (LQR: one iteration).
+    rel_opts = SolverOptions(
+        iterations_max=15, tol_stationarity=1e-3, tol_stationarity_rel=1e-5,
+        throw_errors=False,
+    )
+    _, stats_rel = solve(problem, init_state(problem), rel_opts)
+    assert int(stats_rel.status) == SolveStatus.SUCCESS
+    assert int(stats_rel.iterations) <= 3
