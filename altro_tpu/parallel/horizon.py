@@ -22,7 +22,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from altro_tpu.ops.smallmat import mm, mtm, mtv, mv, psd_solve_small
 from altro_tpu.tvlqr import TVLQRGains, _combine_value_elements
 
-__all__ = ["tvlqr_backward_horizon_sharded"]
+__all__ = [
+    "tvlqr_backward_horizon_sharded",
+    "tvlqr_backward_batch_horizon_sharded",
+]
 
 
 def _identity_element(n, dtype):
@@ -32,39 +35,18 @@ def _identity_element(n, dtype):
     return (eye, z, zm, z, zm)
 
 
-def tvlqr_backward_horizon_sharded(
-    A, B, f, lxx, luu, lux, lx, lu, mesh: Mesh, axis: str = "horizon", reg=0.0
-) -> TVLQRGains:
-    """Distributed parallel Riccati backward pass.
+def _make_local_block(n, m, dtype, axis, reg, eye_m):
+    """Per-device block of the distributed-scan Riccati backward pass.
 
-    Same interface/results as `tvlqr_backward(_associative)`; requires
-    (N + 1) divisible by the mesh axis size. luu must be PD on its own
-    (same condition as the associative variant).
+    Returns local_block(A_b, B_b, f_b, lxx_b, luu_b, lux_b, lx_b, lu_b,
+    term_b) operating on this device's horizon slice; collectives
+    (all_gather of block totals, psum of dV, pmin of ok) ride `axis`.
+    Safe under an outer vmap over batch lanes (the collectives only name
+    the horizon axis), which is how the 2-D batch x horizon variant
+    batches it.
     """
-    N, n = A.shape[0], A.shape[1]
-    m = B.shape[2]
-    dtype = A.dtype
-    D = mesh.shape[axis]
-    if (N + 1) % D != 0:
-        raise ValueError(f"(N+1)={N + 1} must be divisible by mesh axis size {D}")
-    reg = jnp.asarray(reg, dtype)
-    eye_m = jnp.eye(m, dtype=dtype)
-
-    # Pad stage arrays to N+1 rows so one axis shards uniformly; row N is
-    # the terminal slot (identity luu keeps the padded solve well-posed).
-    pad = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
-    A_p = pad(A)
-    B_p = pad(B)
-    f_p = pad(f)
-    luu_p = jnp.concatenate([luu, eye_m[None]], axis=0)
-    lux_p = pad(lux)
-    lu_p = pad(lu)
-    is_term = jnp.arange(N + 1) == N
-
-    spec = P(axis)
 
     def local_block(A_b, B_b, f_b, lxx_b, luu_b, lux_b, lx_b, lu_b, term_b):
-        L = A_b.shape[0]
         my = jax.lax.axis_index(axis)
 
         def stage_element(A_k, B_k, f_k, Q_k, R_k, H_k, q_k, r_k, term_k):
@@ -146,6 +128,41 @@ def tvlqr_backward_horizon_sharded(
         ok_all = jax.lax.pmin(jnp.min(ok_loc.astype(jnp.int32)), axis)
         return K_loc, d_loc, P_loc, p_loc, dV_total, ok_all, ok_loc
 
+    return local_block
+
+
+def tvlqr_backward_horizon_sharded(
+    A, B, f, lxx, luu, lux, lx, lu, mesh: Mesh, axis: str = "horizon", reg=0.0
+) -> TVLQRGains:
+    """Distributed parallel Riccati backward pass.
+
+    Same interface/results as `tvlqr_backward(_associative)`; requires
+    (N + 1) divisible by the mesh axis size. luu must be PD on its own
+    (same condition as the associative variant).
+    """
+    N, n = A.shape[0], A.shape[1]
+    m = B.shape[2]
+    dtype = A.dtype
+    D = mesh.shape[axis]
+    if (N + 1) % D != 0:
+        raise ValueError(f"(N+1)={N + 1} must be divisible by mesh axis size {D}")
+    reg = jnp.asarray(reg, dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    # Pad stage arrays to N+1 rows so one axis shards uniformly; row N is
+    # the terminal slot (identity luu keeps the padded solve well-posed).
+    pad = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
+    A_p = pad(A)
+    B_p = pad(B)
+    f_p = pad(f)
+    luu_p = jnp.concatenate([luu, eye_m[None]], axis=0)
+    lux_p = pad(lux)
+    lu_p = pad(lu)
+    is_term = jnp.arange(N + 1) == N
+
+    spec = P(axis)
+    local_block = _make_local_block(n, m, dtype, axis, reg, eye_m)
+
     mapped = jax.shard_map(
         local_block,
         mesh=mesh,
@@ -163,3 +180,58 @@ def tvlqr_backward_horizon_sharded(
         ok_rows[:N], jnp.asarray(N, jnp.int32), jnp.arange(N, dtype=jnp.int32)
     )
     return TVLQRGains(K, d, P_full, p_full, dV, ok, jnp.min(fail_index))
+
+
+def tvlqr_backward_batch_horizon_sharded(
+    A, B, f, lxx, luu, lux, lx, lu, mesh: Mesh,
+    batch_axis: str = "batch", axis: str = "horizon", reg=0.0,
+) -> TVLQRGains:
+    """2-D-sharded batched Riccati backward pass: independent problem
+    lanes over the mesh's `batch_axis`, each lane's horizon
+    block-partitioned over `axis` (the full pod layout: lanes ride one
+    ICI dimension, the distributed-scan exchanges ride the other).
+
+    Args are the batched stacks (A: [Bsz, N, n, n], ..., lx: [Bsz, N+1, n]);
+    Bsz must divide the batch mesh axis, (N + 1) the horizon axis.
+    Returns batched TVLQRGains matching `jax.vmap(tvlqr_backward)`.
+    """
+    N, n = A.shape[1], A.shape[2]
+    m = B.shape[3]
+    dtype = A.dtype
+    D = mesh.shape[axis]
+    if (N + 1) % D != 0:
+        raise ValueError(f"(N+1)={N + 1} must be divisible by mesh axis size {D}")
+    reg_arr = jnp.asarray(reg, dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    pad = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:, :1])], axis=1)
+    A_p, B_p, f_p, lux_p, lu_p = pad(A), pad(B), pad(f), pad(lux), pad(lu)
+    luu_p = jnp.concatenate(
+        [luu, jnp.broadcast_to(eye_m, (luu.shape[0], 1, m, m))], axis=1
+    )
+    is_term = jnp.arange(N + 1) == N
+
+    block = _make_local_block(n, m, dtype, axis, reg_arr, eye_m)
+
+    def batched_block(A_b, B_b, f_b, lxx_b, luu_b, lux_b, lx_b, lu_b, term_b):
+        return jax.vmap(
+            lambda *args: block(*args, term_b)
+        )(A_b, B_b, f_b, lxx_b, luu_b, lux_b, lx_b, lu_b)
+
+    bh = P(batch_axis, axis)
+    mapped = jax.shard_map(
+        batched_block,
+        mesh=mesh,
+        in_specs=(bh,) * 8 + (P(axis),),
+        out_specs=(bh, bh, bh, bh, P(batch_axis), P(batch_axis), bh),
+        check_vma=False,
+    )
+    K_f, d_f, P_full, p_full, dV, ok_all, ok_rows = mapped(
+        A_p, B_p, f_p, lxx, luu_p, lux_p, lx, lu_p, is_term
+    )
+    K = K_f[:, :N]
+    d = d_f[:, :N]
+    ok = ok_all.astype(bool)
+    idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    fail_index = jnp.where(ok_rows[:, :N], jnp.asarray(N, jnp.int32), idx)
+    return TVLQRGains(K, d, P_full, p_full, dV, ok, jnp.min(fail_index, axis=1))
