@@ -130,6 +130,13 @@ class SolverOptions:
 
     # TPU execution strategy
     parallel_riccati: bool = False  # lax.associative_scan backward pass
+    # Batch-fused Pallas backward pass: when the solve is vmapped over a
+    # batch that is a multiple of 1024 f32 lanes on TPU, run the whole
+    # Riccati recursion as ONE Pallas kernel over (8, 128) lane tiles
+    # instead of a vmapped scan (2-3x at n=12 blocks; ops/fused_backward).
+    # Falls back to the scan automatically when it does not apply.
+    # Mutually exclusive with parallel_riccati / symmetrize_ctg.
+    pallas_backward: bool = False
     throw_errors: bool = True  # host API raises on failed solve
     # Re-symmetrize the Riccati cost-to-go each step: recommended for
     # long horizons (N >~ 100) in f32, where roundoff asymmetry compounds

@@ -503,15 +503,24 @@ def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
     recovers instead of dying.
     """
     f_zero = jnp.zeros_like(lx[: A.shape[0]])
-    backward = tvlqr_backward_associative if opts.parallel_riccati else tvlqr_backward
 
-    def attempt(reg):
-        if opts.parallel_riccati:
-            return backward(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
-        return backward(
-            A, B, f_zero, lxx, luu, lux, lx, lu, reg,
-            symmetrize=opts.symmetrize_ctg,
-        )
+    if opts.pallas_backward and not opts.parallel_riccati and not opts.symmetrize_ctg:
+        # custom_vmap: the serial scan unbatched, the fused Pallas kernel
+        # when this solve is vmapped over a (1024-multiple, f32, TPU)
+        # batch — see ops/fused_backward.py
+        from altro_tpu.ops.fused_backward import tvlqr_backward_fused
+
+        def attempt(reg):
+            return tvlqr_backward_fused(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
+    elif opts.parallel_riccati:
+        def attempt(reg):
+            return tvlqr_backward_associative(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
+    else:
+        def attempt(reg):
+            return tvlqr_backward(
+                A, B, f_zero, lxx, luu, lux, lx, lu, reg,
+                symmetrize=opts.symmetrize_ctg,
+            )
 
     gains0 = attempt(reg0)
 

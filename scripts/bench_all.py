@@ -210,6 +210,9 @@ def main():
         # 2e-3 > tol_stationarity — well-solved lanes would otherwise
         # burn to iterations_max and (under vmap) make EVERY lane pay.
         tol_stationarity_rel=1e-5,
+        # Batch-fused Pallas backward: 2x the vmapped scan at these
+        # n=12 blocks (ops/fused_backward.py).
+        pallas_backward=True,
     )
     # Closed-loop waypoint MPC, fused into one jitted lax.scan over ticks
     # (same methodology as the headline bicycle workload — per-dispatch

@@ -51,14 +51,115 @@ def test_per_lane_failure_flags():
     args = list(make_batch(BATCH_TILE, N=6))
     luu = args[4].copy()
     luu[3, 2] = -10.0 * np.eye(2, dtype=np.float32)  # break lane 3 at knot 2
+    luu[3, 4] = -10.0 * np.eye(2, dtype=np.float32)  # ... and at knot 4
     args[4] = luu
     out = riccati_backward_pallas(*args, interpret=True)
     ok = np.asarray(out.ok)
+    fail = np.asarray(out.fail_index)
     assert not ok[3]
     assert ok[[0, 1, 2, 4]].all()
+    assert fail[3] == 2  # smallest failing knot (tvlqr_backward semantics)
+    assert (fail[[0, 1, 2, 4]] == 6).all()
 
 
 def test_rejects_partial_tile():
     args = make_batch(BATCH_TILE // 2, N=4)
     with pytest.raises(ValueError):
         riccati_backward_pallas(*args, interpret=True)
+
+
+def test_per_lane_reg_array():
+    args = make_batch(BATCH_TILE, N=5)
+    reg = np.zeros(BATCH_TILE, np.float32)
+    reg[7] = 0.5
+    out = riccati_backward_pallas(*args, reg=jnp.asarray(reg), interpret=True)
+    ref_lane = tvlqr_backward(*(jnp.asarray(a[7]) for a in args), reg=0.5)
+    ref0 = tvlqr_backward(*(jnp.asarray(a[7]) for a in args), reg=0.0)
+    np.testing.assert_allclose(out.K[7], np.asarray(ref_lane.K), atol=2e-5)
+    assert float(jnp.max(jnp.abs(ref_lane.K - ref0.K))) > 1e-3  # reg matters
+
+
+def test_custom_vmap_dispatch_matches_scan():
+    """vmapping tvlqr_backward_fused routes through the Pallas kernel."""
+    from altro_tpu.ops import fused_backward
+
+    args = make_batch(BATCH_TILE, N=6)
+    jargs = tuple(jnp.asarray(a) for a in args)
+    reg = jnp.zeros(BATCH_TILE, jnp.float32)
+    ref = jax.vmap(tvlqr_backward)(*jargs, reg)
+    fused_backward._FORCE_INTERPRET = True
+    try:
+        out = jax.vmap(fused_backward.tvlqr_backward_fused)(*jargs, reg)
+    finally:
+        fused_backward._FORCE_INTERPRET = False
+    np.testing.assert_allclose(out.K, np.asarray(ref.K), atol=2e-5)
+    np.testing.assert_allclose(out.d, np.asarray(ref.d), atol=2e-5)
+    np.testing.assert_allclose(out.P, np.asarray(ref.P), atol=2e-4)
+    assert bool(out.ok.all())
+    assert (np.asarray(out.fail_index) == 6).all()
+    # unbatched call IS the serial scan
+    one = fused_backward.tvlqr_backward_fused(*(a[0] for a in jargs),
+                                              jnp.float32(0.0))
+    ref1 = tvlqr_backward(*(a[0] for a in jargs), jnp.float32(0.0))
+    np.testing.assert_allclose(one.K, np.asarray(ref1.K), rtol=1e-6)
+
+
+def test_custom_vmap_fallback_small_batch():
+    """Non-1024 batches fall back to the vmapped scan (identical results)."""
+    from altro_tpu.ops.fused_backward import tvlqr_backward_fused
+
+    args = make_batch(8, N=5)
+    jargs = tuple(jnp.asarray(a) for a in args)
+    reg = jnp.zeros(8, jnp.float32)
+    out = jax.vmap(tvlqr_backward_fused)(*jargs, reg)
+    ref = jax.vmap(tvlqr_backward)(*jargs, reg)
+    np.testing.assert_allclose(out.K, np.asarray(ref.K), rtol=1e-6)
+
+
+def test_solver_pallas_backward_option():
+    """Batched solve with pallas_backward routes the backward pass through
+    the fused kernel (forced interpret on CPU) and matches the default."""
+    import dataclasses
+
+    from altro_tpu.models.double_integrator import double_integrator_dynamics
+    from altro_tpu.options import SolverOptions
+    from altro_tpu.ops import fused_backward
+    from altro_tpu.parallel.batch import batch_init_state
+    from altro_tpu.problem import Problem, lqr_cost_from_reference
+    from altro_tpu.solver import solve
+
+    N, n, m = 6, 4, 2
+    dtype = jnp.float32
+    dyn, jac = double_integrator_dynamics(), None
+    xf = jnp.asarray([1.0, 1.0, 0.0, 0.0], dtype)
+    cost = lqr_cost_from_reference(
+        jnp.full((N + 1, n), 1.0, dtype), jnp.full((N + 1, m), 1e-2, dtype),
+        jnp.tile(xf, (N + 1, 1)), jnp.zeros((N + 1, m), dtype),
+    )
+    problem = Problem(N=N, n=n, m=m, dynamics=dyn, dynamics_jac=jac,
+                      constraints=(), cost=cost, h=jnp.full(N, 0.1, dtype),
+                      x0=jnp.zeros(n, dtype))
+    opts = SolverOptions(iterations_max=5, use_backtracking_linesearch=True,
+                         throw_errors=False, tol_stationarity=1e-3,
+                         tol_primal_feasibility=1e-3)
+
+    B = BATCH_TILE
+    states = batch_init_state(problem, B)
+    x0s = jnp.zeros((B, n), dtype).at[:, 0].set(
+        jnp.linspace(-0.1, 0.1, B, dtype=dtype))
+
+    def run(o):
+        def one(x0, s):
+            return solve(dataclasses.replace(problem, x0=x0), s, o)
+        return jax.vmap(one)(x0s, states)
+
+    ref_state, ref_stats = run(opts)
+    fused_backward._FORCE_INTERPRET = True
+    try:
+        out_state, out_stats = run(opts.replace(pallas_backward=True))
+    finally:
+        fused_backward._FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(out_state.u), np.asarray(ref_state.u),
+                               atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(out_stats.iterations),
+                                  np.asarray(ref_stats.iterations))
