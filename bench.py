@@ -135,13 +135,13 @@ def main():
         ls_armijo_only=(rti or (par_ls and os.environ.get("ALTRO_BENCH_PHASE_SPLIT", "1") == "1"))
         and os.environ.get("ALTRO_BENCH_ARMIJO_ONLY", "0" if rti else "1") == "1",
         # Batch-fused Pallas backward pass (ops/fused_backward.py):
-        # measured +8.4% on this flagship workload (914.8k -> 991.3k
-        # resolves/s, identical closed-loop error/success). Default off
-        # pending fresh-compile cost validation (first-ever compile of
-        # the 200-tick program measured 604 s through the remote compile
-        # helper); the n=12 quadrotor config in bench_all.py defaults on
-        # (+29%, 143k -> 185k solves/s).
-        pallas_backward=os.environ.get("ALTRO_BENCH_PALLAS_BWD", "0") == "1",
+        # +8.5% on this flagship workload (911.6k -> 989.0k resolves/s
+        # back-to-back, identical closed-loop error/success); +29% on
+        # the n=12 quadrotor config in bench_all.py (143k -> 185k).
+        # Cold compiles of the whole 200-tick program vary 8-600 s with
+        # the remote compile-helper cache for the scan AND pallas
+        # variants alike, so compile cost is not a differentiator.
+        pallas_backward=os.environ.get("ALTRO_BENCH_PALLAS_BWD", "1") == "1",
     )
 
     # Sliding tracking windows (shared across lanes), precomputed on host
