@@ -66,7 +66,10 @@ def main():
 
     dtype = jnp.float32
     N, n, m = 30, 4, 2
-    B = int(os.environ.get("ALTRO_BENCH_BATCH", "1024"))
+    # B=2048 is the measured throughput sweet spot with the fused Pallas
+    # backward (which scales sublinearly in batch): 1.051M solves/s vs
+    # 989k at B=1024 and 993k at B=4096, identical accuracy (docs/PERF.md).
+    B = int(os.environ.get("ALTRO_BENCH_BATCH", "2048"))
     NSIM = int(os.environ.get("ALTRO_BENCH_TICKS", "200"))
 
     try:
