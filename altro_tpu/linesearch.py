@@ -16,7 +16,7 @@ the reference exactly — the end-to-end iteration-count oracles
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -658,6 +658,7 @@ def parallel_backtracking_search_split(
     opts: LineSearchOptions = LineSearchOptions(),
     width: int = 8,
     armijo_only: bool = False,
+    reconstruct: Optional[Callable] = None,
 ) -> LineSearchResult:
     """Phase-split variant of `parallel_backtracking_search`.
 
@@ -683,6 +684,14 @@ def parallel_backtracking_search_split(
     Armijo alone and completes the accepted payload without its dphi
     sensitivity scan (result.dphi = NaN) — removing both sequential
     completion scans; only stats consume the accepted-step dphi.
+
+    reconstruct (optional): when given, `merit_value(alpha)` returns
+    (phi, carrier) where the carrier is a MINIMAL payload (e.g. just the
+    rolled-out state trajectory), and the selected trial's light payload
+    is rebuilt knot-parallel by `reconstruct(carrier, alpha, phi)` AFTER
+    selection. The grid then materializes width x [N+1, n] states instead
+    of width x the full (x, u, y, convals, zproj) stacks — everything but
+    phi and x is a per-knot pure function of the state trajectory.
     """
     dtype = jnp.asarray(phi0).dtype
     if not jnp.issubdtype(dtype, jnp.floating):
@@ -713,6 +722,8 @@ def parallel_backtracking_search_split(
         passes0 = armijo0
     else:
         light_first = jax.tree.map(lambda a: a[0], lights0)
+        if reconstruct is not None:
+            light_first = reconstruct(light_first, alphas0[0], phis0[0])
         dphi_first, _ = complete(light_first)
         wolfe_first = jnp.abs(dphi_first) <= -c2 * dphi0
         passes0 = jnp.where(
@@ -759,6 +770,8 @@ def parallel_backtracking_search_split(
         )
 
     # Complete the accepted step's payload (once, knot-parallel).
+    if reconstruct is not None:
+        light_acc = reconstruct(light_acc, alpha_acc, phi_acc)
     dphi_acc, aux_acc = complete(light_acc, with_dphi=not armijo_only)
 
     not_descent = dphi0 >= 0

@@ -130,6 +130,12 @@ class SolverOptions:
 
     # TPU execution strategy
     parallel_riccati: bool = False  # lax.associative_scan backward pass
+    # Grid line-search trials carry only (phi, state trajectory); the
+    # accepted trial's payload (u, y, convals, zproj) is rebuilt
+    # knot-parallel after selection instead of being materialized for
+    # every trial (width x fewer stacked outputs; identical values).
+    # Requires ls_phase_split.
+    ls_grid_x_only: bool = True
     # Batch-fused Pallas backward pass: when the solve is vmapped over a
     # batch that is a multiple of 1024 f32 lanes on TPU, run the whole
     # Riccati recursion as ONE Pallas kernel over (8, 128) lane tiles

@@ -307,6 +307,70 @@ def merit_rollout_light(
     return MeritOutLight(phi, x, u, y, convals, zproj)
 
 
+def merit_rollout_phi_x(problem: Problem, ref_x, ref_u, K, d, z, rho, alpha, x0):
+    """Minimal trial rollout: AL merit value + state trajectory ONLY.
+
+    The sequential scan of `merit_rollout_light` stripped to its
+    irreducible carrier: everything else in the light payload (u, y,
+    convals, zproj) is a per-knot pure function of the states — see
+    `light_from_xstack`. Used by the grid line search so the trial grid
+    materializes width x [N+1, n] states instead of width x full payload
+    stacks. phi is bitwise-identical to `merit_rollout_light`'s.
+    """
+    N = problem.N
+    dtype = x0.dtype
+    alpha = jnp.asarray(alpha, dtype)
+    ks = jnp.arange(N, dtype=jnp.int32)
+    z_stage = tuple(zj[:N] for zj in z)
+    z_term = tuple(zj[N] for zj in z)
+
+    def step(carry, inp):
+        x_k, phi = carry
+        k, xr, ur, K_k, d_k, z_k = inp
+        u_k = ur - mv(K_k, x_k - xr) + alpha * d_k
+        x_next = problem.dyn_step(k, x_k, u_k)
+        cost_k, _, _ = al.al_cost(problem, k, x_k, u_k, z_k, rho, terminal=False)
+        return (x_next, phi + cost_k), x_k
+
+    (x_N, phi), x_st = jax.lax.scan(
+        step, (x0, jnp.asarray(0.0, dtype)),
+        (ks, ref_x[:N], ref_u, K, d, z_stage), unroll=_unroll(N)
+    )
+    cost_N, _, _ = al.al_cost(problem, N, x_N, None, z_term, rho, terminal=True)
+    return phi + cost_N, jnp.concatenate([x_st, x_N[None]], axis=0)
+
+
+def light_from_xstack(
+    problem: Problem, phi, x, ref_x, ref_u, K, d, P, p, z, rho, alpha
+) -> MeritOutLight:
+    """Rebuild the light merit payload from a rolled-out state trajectory.
+
+    Knot-parallel (one vmap): u and y from the policy/dual-estimate
+    affine maps, convals/zproj by re-evaluating the constraints at
+    (x, u). Identical values to `merit_rollout_light` by construction
+    (same per-knot expressions, same inputs).
+    """
+    N = problem.N
+    alpha = jnp.asarray(alpha, x.dtype)
+    dx = x - ref_x
+    u = ref_u - jax.vmap(mv)(K, dx[:N]) + alpha * d
+    y = jax.vmap(mv)(P, dx) + p
+    ks = jnp.arange(N, dtype=jnp.int32)
+    z_stage = tuple(zj[:N] for zj in z)
+    z_term = tuple(zj[N] for zj in z)
+    _, convals_st, zproj_st = jax.vmap(
+        lambda k, xk, uk, zk: al.al_cost(problem, k, xk, uk, zk, rho, terminal=False)
+    )(ks, x[:N], u, z_stage)
+    _, convals_N, zproj_N = al.al_cost(problem, N, x[N], None, z_term, rho, terminal=True)
+    convals = tuple(
+        jnp.concatenate([cs, cN[None]], axis=0) for cs, cN in zip(convals_st, convals_N)
+    )
+    zproj = tuple(
+        jnp.concatenate([zs, zN[None]], axis=0) for zs, zN in zip(zproj_st, zproj_N)
+    )
+    return MeritOutLight(phi, x, u, y, convals, zproj)
+
+
 def al_gradients(problem: Problem, x, u, z, rho):
     """AL cost gradients (lx [N+1, n], lu [N, m]) along a trajectory,
     vmapped over the knot axis (the gradient half of
@@ -701,13 +765,29 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                         "parallel_linesearch requires use_backtracking_linesearch"
                     )
                 if opts.ls_phase_split:
+                    if opts.ls_grid_x_only:
 
-                    def merit_light(alpha):
-                        out = merit_rollout_light(
-                            problem, c.x, c.u, gains.K, gains.d, gains.P,
-                            gains.p, c.z, c.rho, alpha, problem.x0,
-                        )
-                        return out.phi, out
+                        def merit_light(alpha):
+                            return merit_rollout_phi_x(
+                                problem, c.x, c.u, gains.K, gains.d,
+                                c.z, c.rho, alpha, problem.x0,
+                            )
+
+                        def reconstruct(xstack, alpha, phi):
+                            return light_from_xstack(
+                                problem, phi, xstack, c.x, c.u, gains.K,
+                                gains.d, gains.P, gains.p, c.z, c.rho, alpha,
+                            )
+                    else:
+
+                        def merit_light(alpha):
+                            out = merit_rollout_light(
+                                problem, c.x, c.u, gains.K, gains.d, gains.P,
+                                gains.p, c.z, c.rho, alpha, problem.x0,
+                            )
+                            return out.phi, out
+
+                        reconstruct = None
 
                     ls = parallel_backtracking_search_split(
                         merit_light,
@@ -718,6 +798,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                         phi0, dphi0, 1.0, ls_opts,
                         width=opts.ls_parallel_width,
                         armijo_only=opts.ls_armijo_only,
+                        reconstruct=reconstruct,
                     )
                 else:
                     ls = parallel_backtracking_search(

@@ -137,6 +137,9 @@ def main():
         # SLOWER (layout/fusion change), docs/PERF.md.
         ls_armijo_only=(rti or (par_ls and os.environ.get("ALTRO_BENCH_PHASE_SPLIT", "1") == "1"))
         and os.environ.get("ALTRO_BENCH_ARMIJO_ONLY", "0" if rti else "1") == "1",
+        # Grid trials carry (phi, states) only; accepted payload rebuilt
+        # knot-parallel post-selection (SolverOptions.ls_grid_x_only).
+        ls_grid_x_only=os.environ.get("ALTRO_BENCH_GRID_X_ONLY", "1") == "1",
         # Batch-fused Pallas backward pass (ops/fused_backward.py):
         # +8.5% on this flagship workload (911.6k -> 989.0k resolves/s
         # back-to-back, identical closed-loop error/success); +29% on

@@ -294,3 +294,38 @@ def test_armijo_only_rti_mode():
     np.testing.assert_array_equal(np.asarray(s_ao.u), np.asarray(s_ref.u))
     np.testing.assert_array_equal(np.asarray(s_ao.x), np.asarray(s_ref.x))
     assert np.isnan(float(st_ao.dphi))
+
+
+def test_grid_x_only_matches_full_payload_grid():
+    """ls_grid_x_only (trials carry phi + states only; payload rebuilt
+    knot-parallel post-selection) reproduces the payload-carrying grid
+    exactly: same iterates, same stats, both with and without the
+    strong-Wolfe first trial."""
+    problem = _bounded_di_problem()
+    for armijo_only in (False, True):
+        base = SolverOptions(
+            parallel_linesearch=True, use_backtracking_linesearch=True,
+            ls_phase_split=True, ls_armijo_only=armijo_only,
+            throw_errors=False,
+        )
+        s_ref, st_ref = jax.jit(solve, static_argnums=2)(
+            problem, init_state(problem), base.replace(ls_grid_x_only=False)
+        )
+        s_new, st_new = jax.jit(solve, static_argnums=2)(
+            problem, init_state(problem), base.replace(ls_grid_x_only=True)
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_new.u), np.asarray(s_ref.u), rtol=0, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_new.x), np.asarray(s_ref.x), rtol=0, atol=1e-12
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_new.iterations), np.asarray(st_ref.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_new.status), np.asarray(st_ref.status)
+        )
+        np.testing.assert_allclose(
+            float(st_new.merit_value), float(st_ref.merit_value), rtol=1e-12
+        )
