@@ -744,10 +744,22 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         if opts.rti_mode:
             one = jnp.asarray(1.0, dtype)
             if opts.ls_phase_split:
-                light = merit_rollout_light(
-                    problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p,
-                    c.z, c.rho, one, problem.x0,
-                )
+                if opts.ls_grid_x_only:
+                    # the sequential scan emits only (phi, states); u, y,
+                    # convals, zproj are rebuilt knot-parallel
+                    phi_rti, xstack = merit_rollout_phi_x(
+                        problem, c.x, c.u, gains.K, gains.d,
+                        c.z, c.rho, one, problem.x0,
+                    )
+                    light = light_from_xstack(
+                        problem, phi_rti, xstack, c.x, c.u, gains.K,
+                        gains.d, gains.P, gains.p, c.z, c.rho, one,
+                    )
+                else:
+                    light = merit_rollout_light(
+                        problem, c.x, c.u, gains.K, gains.d, gains.P, gains.p,
+                        c.z, c.rho, one, problem.x0,
+                    )
                 _, m_rti = complete_merit_payload(
                     problem, light, gains.K, gains.d, c.z, c.rho,
                     with_dphi=not opts.ls_armijo_only,

@@ -69,3 +69,29 @@ def test_penalty_warm_start_cuts_iterations_at_equal_quality():
     assert iters_warm.sum() < iters_reset.sum()
     assert errs_warm.mean() < errs_reset.mean() * 1.05 + 1e-3
     assert np.isfinite(errs_warm).all()
+
+
+def test_rti_x_only_split_matches_payload_split():
+    """RTI with ls_grid_x_only (scan emits phi + states; payload rebuilt
+    knot-parallel) produces identical iterates to the payload-carrying
+    phase-split RTI step."""
+    import numpy as np
+
+    ref = scotty_or_skip()
+    problem, state0, _ = make_scotty_problem(ref, 30)
+    base = SolverOptions(
+        iterations_max=1, rti_mode=True, ls_phase_split=True,
+        throw_errors=False,
+    )
+    s_ref, st_ref = jax.jit(solve, static_argnames=("opts",))(
+        problem, state0, base.replace(ls_grid_x_only=False)
+    )
+    s_new, st_new = jax.jit(solve, static_argnames=("opts",))(
+        problem, state0, base.replace(ls_grid_x_only=True)
+    )
+    np.testing.assert_allclose(np.asarray(s_new.u), np.asarray(s_ref.u),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_new.x), np.asarray(s_ref.x),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(float(st_new.merit_value),
+                               float(st_ref.merit_value), rtol=1e-12)
