@@ -42,8 +42,19 @@ def _fused_vmap_rule(axis_size, in_batched, A, B, f, lxx, luu, lux, lx, lu,
                      reg):
     args = [A, B, f, lxx, luu, lux, lx, lu, reg]
     interpret = _FORCE_INTERPRET
+    # Target-platform check at trace time: honor an explicit
+    # jax.default_device(...) override (the debugging/forced-CPU case) in
+    # addition to the process default backend. Arrays committed to a
+    # non-default device are not visible from inside a batching rule —
+    # that residual case still mis-dispatches, so pallas_backward is
+    # opt-in rather than on by default.
+    default_dev = getattr(jax.config, "jax_default_device", None)
+    if default_dev is not None:
+        on_tpu = getattr(default_dev, "platform", None) == "tpu"
+    else:
+        on_tpu = jax.default_backend() == "tpu"
     use_pallas = (
-        (interpret or jax.default_backend() == "tpu")
+        (interpret or on_tpu)
         and axis_size % BATCH_TILE == 0
         and A.dtype == jnp.float32
         # unbatched rank 3 => single-level batching (rule also fires for

@@ -106,7 +106,7 @@ def _kernel(n, m, N, A_ref, B_ref, f_ref, lxx_ref, luu_ref, lux_ref,
         L[j][j] = ljj
         inv = 1.0 / ljj
         for i in range(j + 1, m):
-            s = Quu[i][j] if i >= j else Quu[j][i]
+            s = Quu[i][j]
             for kk in range(j):
                 s = s - L[i][kk] * L[j][kk]
             L[i][j] = s * inv

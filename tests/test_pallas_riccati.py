@@ -163,3 +163,24 @@ def test_solver_pallas_backward_option():
                                atol=5e-5)
     np.testing.assert_array_equal(np.asarray(out_stats.iterations),
                                   np.asarray(ref_stats.iterations))
+
+
+def test_multi_tile_batch():
+    """bt > 1 (batch = 2 x 1024): the scratch carry re-initializes at each
+    tile's first grid step and the dV/flags accumulator blocks flush
+    correctly at the tile boundary — the default bench batch (2048)
+    exercises exactly this path."""
+    args = make_batch(2 * BATCH_TILE, N=4)
+    out = riccati_backward_pallas(*args, interpret=True)
+    ref = jax.vmap(tvlqr_backward)(*(jnp.asarray(a) for a in args))
+    assert bool(out.ok.all()) and bool(ref.ok.all())
+    np.testing.assert_allclose(out.K, np.asarray(ref.K), atol=2e-5)
+    np.testing.assert_allclose(out.P, np.asarray(ref.P), atol=2e-4)
+    np.testing.assert_allclose(out.delta_V, np.asarray(ref.delta_V),
+                               rtol=2e-4, atol=2e-4)
+    # lanes in the second tile must not inherit the first tile's carry:
+    # compare tile 1 against a standalone run of just that tile
+    tile1 = tuple(a[BATCH_TILE:] for a in args)
+    solo = riccati_backward_pallas(*tile1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.K[BATCH_TILE:]),
+                                  np.asarray(solo.K))
