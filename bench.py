@@ -14,6 +14,24 @@ Prints ONE JSON line:
 vs_baseline is against the single-threaded C++ reference estimate in
 BASELINE.md (1000 warm-started resolves/s; the reference cannot be built
 in this zero-egress image — see BASELINE.md for the derivation).
+
+Hardening (round 2): the remote-TPU ("axon") tunnel can fail with
+transient FAILED_PRECONDITION backend errors mid-run, which killed the
+round-1 driver capture. The bench is now a two-process harness:
+
+  parent  — no jax import; probes the backend, then walks an attempt
+            ladder of child subprocesses: full TPU config -> TPU retry
+            -> TPU without the Pallas backward -> TPU at B=1024 -> CPU
+            (honestly labeled). A dead/hung child never takes the
+            harness down; the final JSON always prints, carrying an
+            "error" field if every rung failed.
+  child   — the actual measurement (``--child``). Uses a persistent XLA
+            compile cache so re-runs skip the 8-600 s cold compile,
+            retries once in-process on jax.errors.JaxRuntimeError, runs
+            a live-device Pallas-vs-scan kernel parity preflight, and
+            enforces hard accuracy gates (tracking error, success rate,
+            mean iterations, kernel residual) so a fast-but-wrong config
+            exits non-zero instead of printing a happy number.
 """
 
 import dataclasses
@@ -24,6 +42,21 @@ import sys
 import time
 
 BASELINE_SOLVES_PER_S = 1000.0  # single-threaded C++ reference estimate (BASELINE.md)
+COMPILE_CACHE_DIR = os.environ.get(
+    "ALTRO_BENCH_CACHE_DIR", "/tmp/jax_cache_altro_bench"
+)
+
+# Hard accuracy gates: the bench FAILS (exit code 3) when the measured
+# run violates these, so a fast-but-wrong config cannot produce a green
+# JSON. Values chosen against the known-good flagship run (closed-loop
+# error 0.4855, success 98.78%, mean iterations 1.44) and the reference
+# artifact (/root/reference/test/scotty_mpc.json: error 0.485).
+GATE_MAX_TRACKING_ERR = 0.5
+GATE_MIN_SUCCESS = 0.98  # full-solver mode only (RTI has no convergence contract)
+GATE_MAX_MEAN_ITERS = 2.0
+GATE_MAX_KERNEL_DK = 1e-3  # max |K_pallas - K_scan| on the live-device probe
+
+EXIT_GATE_FAILURE = 3  # accuracy gates failed — NOT an infra error; do not retry
 
 
 def pick_platform() -> str:
@@ -45,13 +78,58 @@ def pick_platform() -> str:
     return "cpu"
 
 
-def main():
-    platform = pick_platform()
+def _kernel_parity_preflight(jax, jnp, N, n, m, dtype):
+    """Run the fused Pallas backward against the vmapped scan on the live
+    device and return the max gain residuals (VERDICT r1 item 3: the f64
+    test suite exercises the kernel only in interpret mode on CPU; this
+    is the on-hardware check, recorded in the bench JSON)."""
+    import numpy as np
+
+    from altro_tpu.ops.pallas_riccati import BATCH_TILE, riccati_backward_pallas
+    from altro_tpu.tvlqr import tvlqr_backward
+
+    Bp = BATCH_TILE
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(
+        np.tile(np.eye(n), (Bp, N, 1, 1)) + 0.05 * rng.standard_normal((Bp, N, n, n)),
+        dtype,
+    )
+    Bm = jnp.asarray(0.3 * rng.standard_normal((Bp, N, n, m)), dtype)
+    f = jnp.asarray(0.01 * rng.standard_normal((Bp, N, n)), dtype)
+    lxx = jnp.asarray(np.tile(np.eye(n), (Bp, N + 1, 1, 1)), dtype)
+    luu = jnp.asarray(np.tile(np.eye(m), (Bp, N, 1, 1)), dtype)
+    lux = jnp.zeros((Bp, N, m, n), dtype)
+    lx = jnp.asarray(rng.standard_normal((Bp, N + 1, n)), dtype)
+    lu = jnp.asarray(rng.standard_normal((Bp, N, m)), dtype)
+    reg = jnp.zeros((Bp,), dtype)
+
+    out = jax.jit(lambda *a: riccati_backward_pallas(*a[:8], reg=a[8]))(
+        A, Bm, f, lxx, luu, lux, lx, lu, reg
+    )
+    ref = jax.jit(jax.vmap(lambda *a: tvlqr_backward(*a)))(
+        A, Bm, f, lxx, luu, lux, lx, lu
+    )
+    jax.block_until_ready((out, ref))
+    return {
+        "kernel_parity_max_dK": float(jnp.max(jnp.abs(out.K - ref.K))),
+        "kernel_parity_max_dd": float(jnp.max(jnp.abs(out.d - ref.d))),
+        "kernel_parity_ok": bool(jnp.all(out.ok) & jnp.all(ref.ok)),
+    }
+
+
+def child_main():
+    platform = os.environ.get("ALTRO_BENCH_PLATFORM") or pick_platform()
     if platform == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    # Persistent compile cache: the flagship 200-tick program cold-compiles
+    # in 8-600 s; pre-seeded cache turns that into seconds on re-runs.
+    jax.config.update("jax_compilation_cache_dir", COMPILE_CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -100,6 +178,9 @@ def main():
     rti = os.environ.get("ALTRO_BENCH_RTI") == "1"
     warm_rho = os.environ.get("ALTRO_BENCH_WARM_RHO", "1") == "1"
     par_ls = os.environ.get("ALTRO_BENCH_PAR_LS", "1") == "1"
+    use_pallas = (
+        platform == "tpu" and os.environ.get("ALTRO_BENCH_PALLAS_BWD", "1") == "1"
+    )
     opts = SolverOptions(
         iterations_max=1 if rti else 10,
         use_backtracking_linesearch=True,
@@ -144,10 +225,7 @@ def main():
         # +8.5% on this flagship workload (911.6k -> 989.0k resolves/s
         # back-to-back, identical closed-loop error/success); +29% on
         # the n=12 quadrotor config in bench_all.py (143k -> 185k).
-        # Cold compiles of the whole 200-tick program vary 8-600 s with
-        # the remote compile-helper cache for the scan AND pallas
-        # variants alike, so compile cost is not a differentiator.
-        pallas_backward=os.environ.get("ALTRO_BENCH_PALLAS_BWD", "1") == "1",
+        pallas_backward=use_pallas,
     )
 
     # Sliding tracking windows (shared across lanes), precomputed on host
@@ -198,21 +276,63 @@ def main():
         )
         return x_true, states, iters, errs, statuses
 
-    # Warm-up / compile
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(run(x_true0, states0))
-    compile_s = time.perf_counter() - t0
+    # Live-device kernel parity preflight (only meaningful when the fused
+    # Pallas backward is actually in the measured path).
+    preflight = None
+    if use_pallas:
+        preflight = _kernel_parity_preflight(jax, jnp, N, n, m, dtype)
 
-    # Timed run
-    t0 = time.perf_counter()
-    x_true, states, iters, errs, statuses = jax.block_until_ready(run(x_true0, states0))
-    elapsed = time.perf_counter() - t0
+    # Warm-up/compile + timed run, with one in-process retry on transient
+    # backend errors (the remote-TPU tunnel occasionally drops a call with
+    # FAILED_PRECONDITION; the backend usually recovers within seconds).
+    last_exc = None
+    for attempt in range(2):
+        try:
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(x_true0, states0))
+            compile_s = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            x_true, states, iters, errs, statuses = jax.block_until_ready(
+                run(x_true0, states0)
+            )
+            elapsed = time.perf_counter() - t0
+            last_exc = None
+            break
+        except jax.errors.JaxRuntimeError as e:  # transient tunnel/backend error
+            last_exc = e
+            print(f"bench: attempt {attempt} failed: {e}", file=sys.stderr)
+            time.sleep(10.0)
+    if last_exc is not None:
+        raise last_exc
 
     total_solves = B * NSIM
     solves_per_s = total_solves / elapsed
     mean_iters = float(jnp.mean(iters))
     mean_err = float(jnp.mean(errs))
+    success = float(jnp.mean(statuses == 0))
     per_tick_ms = elapsed / NSIM * 1e3
+
+    # Hard accuracy gates: fail loudly rather than report a fast-but-wrong
+    # number. (RTI mode has no convergence contract — success is reported
+    # as null and not gated, matching docs/PERF.md.)
+    gate_failures = []
+    if mean_err > GATE_MAX_TRACKING_ERR:
+        gate_failures.append(
+            f"mean_tracking_error {mean_err:.4f} > {GATE_MAX_TRACKING_ERR}"
+        )
+    if mean_iters > GATE_MAX_MEAN_ITERS:
+        gate_failures.append(f"mean_iterations {mean_iters:.3f} > {GATE_MAX_MEAN_ITERS}")
+    if not rti and success < GATE_MIN_SUCCESS:
+        gate_failures.append(f"success_rate {success:.4f} < {GATE_MIN_SUCCESS}")
+    if preflight is not None:
+        if not preflight["kernel_parity_ok"]:
+            gate_failures.append("kernel parity preflight: backward pass reported failure")
+        if preflight["kernel_parity_max_dK"] > GATE_MAX_KERNEL_DK:
+            gate_failures.append(
+                f"kernel parity max|dK| {preflight['kernel_parity_max_dK']:.2e}"
+                f" > {GATE_MAX_KERNEL_DK}"
+            )
 
     result = {
         "metric": "scotty_mpc_rti_resolves_per_s_per_chip"
@@ -228,11 +348,113 @@ def main():
         "batch_resolve_latency_ms": round(per_tick_ms, 3),
         "mean_iterations": round(mean_iters, 3),
         "mean_tracking_error": round(mean_err, 4),
-        "success_rate": round(float(jnp.mean(statuses == 0)), 4),
+        "success_rate": None if rti else round(success, 4),
         "compile_s": round(compile_s, 1),
+        "gates_passed": not gate_failures,
     }
+    if preflight is not None:
+        result.update(preflight)
+    if gate_failures:
+        result["error"] = "accuracy gates failed: " + "; ".join(gate_failures)
+        print(json.dumps(result))
+        sys.exit(EXIT_GATE_FAILURE)
     print(json.dumps(result))
 
 
+def _last_json_line(text: str):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def parent_main() -> int:
+    platform = pick_platform()
+    rungs = []
+    if platform != "cpu":
+        rungs += [
+            ("tpu", {}),
+            ("tpu-retry", {}),
+            ("tpu-no-pallas", {"ALTRO_BENCH_PALLAS_BWD": "0"}),
+            ("tpu-b1024", {"ALTRO_BENCH_BATCH": "1024"}),
+        ]
+    rungs.append(
+        (
+            "cpu",
+            {
+                "ALTRO_BENCH_PLATFORM": "cpu",
+                "ALTRO_BENCH_BATCH": os.environ.get("ALTRO_BENCH_CPU_BATCH", "64"),
+                "ALTRO_BENCH_TICKS": os.environ.get("ALTRO_BENCH_CPU_TICKS", "25"),
+            },
+        )
+    )
+
+    attempts = []
+    for name, overrides in rungs:
+        env = dict(os.environ)
+        env.update(overrides)
+        env.setdefault("ALTRO_BENCH_PLATFORM", "cpu" if name == "cpu" else "tpu")
+        timeout = float(
+            os.environ.get(
+                "ALTRO_BENCH_ATTEMPT_TIMEOUT", "1500" if name != "cpu" else "2400"
+            )
+        )
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            attempts.append({"rung": name, "outcome": "timeout",
+                             "seconds": round(time.time() - t0, 1)})
+            continue
+        sys.stderr.write(proc.stderr[-2000:])
+        result = _last_json_line(proc.stdout)
+        if proc.returncode == 0 and result is not None:
+            if attempts:
+                result["degraded_from"] = attempts
+            print(json.dumps(result))
+            return 0
+        if proc.returncode == EXIT_GATE_FAILURE and result is not None:
+            # Accuracy failure, not infra: surface it, do NOT mask it by
+            # falling back to a degraded config.
+            if attempts:
+                result["degraded_from"] = attempts
+            print(json.dumps(result))
+            return 1
+        attempts.append(
+            {
+                "rung": name,
+                "outcome": f"rc={proc.returncode}",
+                "seconds": round(time.time() - t0, 1),
+                "stderr_tail": proc.stderr[-300:],
+            }
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scotty_mpc_warm_resolves_per_s_per_chip",
+                "value": 0.0,
+                "unit": "solves/s",
+                "vs_baseline": 0.0,
+                "error": "all bench attempts failed",
+                "attempts": attempts,
+            }
+        )
+    )
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        child_main()
+    else:
+        sys.exit(parent_main())

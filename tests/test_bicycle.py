@@ -7,6 +7,7 @@ resolve, mean tracking error ~0.48 over the Scotty path).
 """
 
 import dataclasses
+import json
 import os
 
 import jax
@@ -154,7 +155,25 @@ def test_scotty_mpc_closed_loop():
     iters = np.asarray(iters)
     errs = np.asarray(errs)
     assert all(s == SolveStatus.SUCCESS for s in statuses)
-    # Reference regression artifact: median 1 iter, mean error ~0.48
-    assert np.median(iters) <= 2
-    assert errs.mean() < 0.7
-    assert errs[0] < 5e-3
+
+    # Pin the reference's regression artifact (written by
+    # bicycle_test.cpp:344-359): the per-resolve iteration counts must be
+    # IDENTICAL tick by tick, and the closed-loop tracking errors must
+    # match to f64 cross-implementation tolerance. This is the strongest
+    # cross-implementation oracle in the suite: 200 warm-started
+    # constrained resolves reproducing the C++ solver's exact iteration
+    # trace end-to-end.
+    art_path = "/root/reference/test/scotty_mpc.json"
+    if os.path.exists(art_path):
+        with open(art_path) as fh:
+            art = json.load(fh)
+        assert iters.tolist() == art["solve_iters"], (
+            "per-resolve iteration trace diverged from the reference artifact"
+        )
+        te = np.asarray(art["tracking_error"])
+        assert abs(errs[0] - 1.2289032472929445e-3) < 1e-9 * 1.23e-3
+        np.testing.assert_allclose(errs, te, atol=1e-5)
+    else:  # artifact unavailable: keep the behavioral envelope
+        assert np.median(iters) <= 2
+        assert errs.mean() < 0.7
+        assert errs[0] < 5e-3
