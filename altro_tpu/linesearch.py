@@ -114,6 +114,9 @@ class LineSearchOptions(NamedTuple):
     # Relative Armijo slack (see SolverOptions.ls_armijo_slack): accept
     # phi <= phi0 + c1*a*dphi0 + armijo_slack*|phi0|. 0 = exact Armijo.
     armijo_slack: float = 0.0
+    # Per-trial trace via jax.debug.print (Verbosity.LINE_SEARCH; the
+    # reference's CubicLineSearch verbose mode, linesearch.cpp:70-73).
+    verbose: bool = False
 
 
 class LineSearchResult(NamedTuple):
@@ -500,6 +503,11 @@ def wolfe_line_search(
             (phi_t, dphi_t), aux_t = out[:2], ()
         phi_t = jnp.asarray(phi_t, dtype)
         dphi_t = jnp.asarray(dphi_t, dtype)
+        if opts.verbose:  # linesearch.cpp:70-73 trial trace
+            jax.debug.print(
+                "    ls trial {i}: alpha = {a:.6}, phi = {p:.8}, dphi = {d:.6}",
+                i=s.n_iters, a=s.alpha_next, p=phi_t, d=dphi_t,
+            )
         s = s._replace(aux=aux_t, aux_alpha=s.alpha_next)
         return jax.lax.switch(
             s.mode,
@@ -509,6 +517,11 @@ def wolfe_line_search(
             dphi_t,
         )
 
+    if opts.verbose:  # linesearch.cpp:70-73 start banner
+        jax.debug.print(
+            "  Starting Cubic Line Search with phi0 = {p0:.8}, dphi0 = {d0:.6}",
+            p0=phi0, d0=dphi0,
+        )
     init = mk_state()
     # Not a descent direction: return alpha = 0 (linesearch.cpp:49-52)
     init = jax.lax.cond(
@@ -596,6 +609,11 @@ def parallel_backtracking_search(
         armijo = phis <= phi0 + c1 * alphas * dphi0 + jnp.asarray(
             opts.armijo_slack, dtype
         ) * jnp.abs(phi0)
+        if opts.verbose:  # batched analog of the per-trial trace
+            jax.debug.print(
+                "    ls grid block {b}: alphas = {a}, phis = {p} (phi0 = {p0:.8})",
+                b=block, a=alphas, p=phis, p0=phi0,
+            )
         # Global first trial (k = 0) uses bracket_step semantics:
         # Armijo AND strong Wolfe.
         wolfe_first = jnp.abs(dphis[0]) <= -c2 * dphi0
@@ -718,6 +736,11 @@ def parallel_backtracking_search_split(
     alphas0 = alpha0 * beta ** ks0.astype(dtype)
     phis0, lights0 = jax.vmap(eval_one)(alphas0)
     armijo0 = armijo_mask(alphas0, phis0)
+    if opts.verbose:  # batched analog of the per-trial trace
+        jax.debug.print(
+            "    ls grid block 0: alphas = {a}, phis = {p} (phi0 = {p0:.8})",
+            a=alphas0, p=phis0, p0=phi0,
+        )
     if armijo_only:
         passes0 = armijo0
     else:
@@ -753,6 +776,11 @@ def parallel_backtracking_search_split(
             alphas = alpha0 * beta ** ks.astype(dtype)
             phis, lights = jax.vmap(eval_one)(alphas)
             passes = armijo_mask(alphas, phis)
+            if opts.verbose:
+                jax.debug.print(
+                    "    ls grid block {b}: alphas = {a}, phis = {p}",
+                    b=block, a=alphas, p=phis,
+                )
             f = jnp.any(passes)
             idx = jnp.argmax(passes)
             return (

@@ -140,8 +140,16 @@ class SolverOptions:
     # batch that is a multiple of 1024 f32 lanes on TPU, run the whole
     # Riccati recursion as ONE Pallas kernel over (8, 128) lane tiles
     # instead of a vmapped scan (2-3x at n=12 blocks; ops/fused_backward).
-    # Falls back to the scan automatically when it does not apply.
-    # Mutually exclusive with parallel_riccati / symmetrize_ctg.
+    # Falls back to the scan automatically when it does not apply: non-TPU
+    # default backend, batch not a multiple of 1024, non-f32 dtype, or
+    # nested batching. Limitation: the TPU check reads the process default
+    # backend / jax.default_device at trace time — operand arrays
+    # explicitly committed to a non-default device (jax.device_put) are
+    # not visible from inside the batching rule, so such a mixed-device
+    # setup can still dispatch the kernel on the wrong backend and fail
+    # at lowering (hence opt-in rather than default).
+    # Mutually exclusive with parallel_riccati / symmetrize_ctg (a
+    # ValueError at solve time).
     pallas_backward: bool = False
     throw_errors: bool = True  # host API raises on failed solve
     # Re-symmetrize the Riccati cost-to-go each step: recommended for

@@ -568,7 +568,13 @@ def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
     """
     f_zero = jnp.zeros_like(lx[: A.shape[0]])
 
-    if opts.pallas_backward and not opts.parallel_riccati and not opts.symmetrize_ctg:
+    if opts.pallas_backward and (opts.parallel_riccati or opts.symmetrize_ctg):
+        raise ValueError(
+            "pallas_backward is mutually exclusive with parallel_riccati "
+            "and symmetrize_ctg (the fused kernel implements the plain "
+            "serial recursion); disable one of them"
+        )
+    if opts.pallas_backward:
         # custom_vmap: the serial scan unbatched, the fused Pallas kernel
         # when this solve is vmapped over a (1024-multiple, f32, TPU)
         # batch — see ops/fused_backward.py
@@ -663,6 +669,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         try_cubic_first=opts.ls_try_cubic_first,
         use_backtracking=opts.use_backtracking_linesearch,
         armijo_slack=opts.ls_armijo_slack,
+        verbose=opts.verbose >= Verbosity.LINE_SEARCH,
     )
 
     # Prologue (solver.cpp:418-434): reset penalty, rollout, make reference
@@ -678,6 +685,12 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
     x_init = open_loop_rollout(problem, state.u)
     convals0 = _trajectory_convals(problem, x_init, state.u)
     A0, B0 = dynamics_expansions(problem, x_init, state.u)
+
+    if opts.verbose > Verbosity.SILENT:  # solver.cpp:438-441
+        jax.debug.print(
+            "STARTING ALTRO iLQR SOLVE....\n  Initial Cost: {c}",
+            c=al_total_cost(problem, x_init, state.u, state.z, rho0),
+        )
 
     init = _Carry(
         x=x_init,
@@ -916,6 +929,20 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                 i=c.iter, p0=phi0, p=m.phi, d0=dphi0, d=m.dphi, a=alpha,
                 li=ls_iters, s=stat, f=feas, r=c.rho, du=do_dual,
             )
+        elif opts.verbose == Verbosity.OUTER:
+            # one line per AL outer round (dual/penalty update), the
+            # coarse tier the reference declares but never distinguishes
+            # from INNER (solver_options.hpp:14; every non-silent level
+            # prints the same line there, solver.cpp:492-499)
+            jax.lax.cond(
+                do_dual,
+                lambda: jax.debug.print(
+                    "  outer: iter = {i}, phi = {p:.6}, stat = {s:.4}, "
+                    "feas = {f:.4}, rho = {r:.3} -> {rn:.3}",
+                    i=c.iter, p=m.phi, s=stat, f=feas, r=c.rho, rn=rho_new,
+                ),
+                lambda: None,
+            )
 
         return _Carry(
             x=m.x,
@@ -943,6 +970,12 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         )
 
     final = jax.lax.while_loop(cond, body, init)
+
+    if opts.verbose > Verbosity.SILENT:  # solver.cpp:507-509
+        jax.debug.print(
+            "ALTRO SOLVE FINISHED! iterations = {i}, status = {s}",
+            i=final.iter, s=final.status,
+        )
 
     status = jnp.where(
         jnp.logical_and(
