@@ -72,6 +72,12 @@ class ALTROSolver:
         self.dtype = dtype or jnp.result_type(float)
         self.n: Optional[int] = None
         self.m: Optional[int] = None
+        # Per-knot dims (heterogeneous problems, tvlqr.h:15-33 /
+        # altro_solver.cpp:26-60): the framework pads to (max n, max m)
+        # internally — masked dynamics/cost/constraints on padded
+        # coordinates — so the solver core keeps static shapes.
+        self._nk: Optional[np.ndarray] = None
+        self._mk: Optional[np.ndarray] = None
         self._h = np.zeros(self.N)
         self._dynamics: list = [None] * self.N  # per-knot callables
         self._dynamics_jac: list = [None] * self.N
@@ -114,21 +120,62 @@ class ALTROSolver:
 
     def set_dimension(self, num_states: int, num_inputs: int,
                       k_start: int = 0, k_stop: int = LAST_INDEX):
+        """Set (n_k, m_k) over a knot range. Heterogeneous per-knot
+        dimensions (the reference TVLQR kernel's `const int *nx, *nu`,
+        tvlqr.h:15-33, settable over ranges via SetDimension,
+        altro_solver.cpp:26-60) are supported: the framework pads
+        internally to (max n, max m) with zero dynamics rows, unit
+        input-cost diagonal, and sliced user callables on the padded
+        coordinates — call set_dimension BEFORE dynamics/cost/constraint
+        setters for the knots involved."""
         if num_states <= 0:
             raise AltroError(ErrorCode.STATE_DIM_UNKNOWN)
         if num_inputs <= 0:
             raise AltroError(ErrorCode.INPUT_DIM_UNKNOWN)
-        if self.n is not None and (self.n != num_states or self.m != num_inputs):
-            # Heterogeneous dims need padding to the max dims (static shapes)
-            raise AltroError(
-                ErrorCode.DIMENSION_MISMATCH,
-                "heterogeneous state/input dimensions are not supported; pad to "
-                "the max dimension (static shapes are required for vmap/scan)",
-            )
-        self.n, self.m = num_states, num_inputs
+        if self._nk is None:
+            self._nk = np.full(self.N + 1, -1, dtype=int)
+            self._mk = np.full(self.N + 1, -1, dtype=int)
+        for k in self._range(k_start, k_stop, inclusive=True):
+            self._nk[k] = num_states
+            self._mk[k] = num_inputs
+        new_n = int(self._nk.max())
+        new_m = int(self._mk.max())
+        grew = self.n is not None and (new_n > self.n or new_m > self.m)
+        self.n, self.m = new_n, new_m
         if self._cost_rows is None:
             self._init_cost_rows()
+        elif grew:
+            self._grow_cost_rows()
         return self
+
+    @property
+    def _hetero(self) -> bool:
+        if self._nk is None:
+            return False
+        known = self._nk >= 0
+        return bool(
+            np.any(self._nk[known] != self.n) or np.any(self._mk[known] != self.m)
+        )
+
+    def _knot_dims(self, k: int):
+        """(n_k, m_k) — the knot's own dims (max dims if unset)."""
+        if self._nk is None or self._nk[k] < 0:
+            return self.n, self.m
+        return int(self._nk[k]), int(self._mk[k])
+
+    def _dims_groups(self, ks):
+        """Partition knot indices by their (n_k, m_k)."""
+        groups: dict = {}
+        for k in ks:
+            groups.setdefault(self._knot_dims(k), []).append(k)
+        return groups
+
+    def _grow_cost_rows(self):
+        old = self._cost_rows
+        self._init_cost_rows()
+        for name, arr in old.items():
+            sl = tuple(slice(0, s) for s in arr.shape)
+            self._cost_rows[name][sl] = arr
 
     def _init_cost_rows(self):
         n, m, N = self.n, self.m, self.N
@@ -180,10 +227,10 @@ class ALTROSolver:
         xr, ur = np.asarray(x_ref, float), np.asarray(u_ref, float)
         rows = self._cost_rows
         for k in self._range(k_start, k_stop, inclusive=True):
-            rows["Q"][k] = Qd
-            rows["R"][k] = Rd
-            rows["q"][k] = -Qd * xr
-            rows["r"][k] = -Rd * ur
+            rows["Q"][k] = self._pad_row(Qd, self.n)
+            rows["R"][k] = self._pad_row(Rd, self.m)
+            rows["q"][k] = self._pad_row(-Qd * xr, self.n)
+            rows["r"][k] = self._pad_row(-Rd * ur, self.m)
             c = 0.5 * float(xr @ (Qd * xr))
             if k != self.N:
                 c += 0.5 * float(ur @ (Rd * ur))
@@ -196,24 +243,45 @@ class ALTROSolver:
         self._require_dims()
         rows = self._cost_rows
         for k in self._range(k_start, k_stop, inclusive=True):
-            rows["Q"][k] = np.asarray(Q_diag, float)
-            rows["R"][k] = np.asarray(R_diag, float)
-            rows["q"][k] = np.asarray(q, float)
-            rows["r"][k] = np.asarray(r, float)
+            rows["Q"][k] = self._pad_row(np.asarray(Q_diag, float), self.n)
+            rows["R"][k] = self._pad_row(np.asarray(R_diag, float), self.m)
+            rows["q"][k] = self._pad_row(np.asarray(q, float), self.n)
+            rows["r"][k] = self._pad_row(np.asarray(r, float), self.m)
             rows["c"][k] = c
         self._cost_kind = self._cost_kind or "diagonal"
         return self
+
+    @staticmethod
+    def _pad_row(vec, size):
+        """Zero-pad a knot-sized cost vector to the max dimension
+        (heterogeneous problems; padded coordinates carry zero cost)."""
+        vec = np.asarray(vec, float)
+        if vec.shape[0] == size:
+            return vec
+        if vec.shape[0] > size:
+            raise AltroError(ErrorCode.DIMENSION_MISMATCH,
+                             f"cost term of size {vec.shape[0]} > {size}")
+        return np.concatenate([vec, np.zeros(size - vec.shape[0])])
+
+    @staticmethod
+    def _pad_mat(mat, rows_, cols):
+        mat = np.asarray(mat, float)
+        if mat.shape == (rows_, cols):
+            return mat
+        out = np.zeros((rows_, cols))
+        out[: mat.shape[0], : mat.shape[1]] = mat
+        return out
 
     def set_quadratic_cost(self, Q, R, H, q, r, c: float = 0.0,
                            k_start: int = 0, k_stop: int = LAST_INDEX):
         self._require_dims()
         rows = self._cost_rows
         for k in self._range(k_start, k_stop, inclusive=True):
-            rows["Qfull"][k] = np.asarray(Q, float)
-            rows["Rfull"][k] = np.asarray(R, float)
-            rows["H"][k] = np.asarray(H, float)
-            rows["q"][k] = np.asarray(q, float)
-            rows["r"][k] = np.asarray(r, float)
+            rows["Qfull"][k] = self._pad_mat(Q, self.n, self.n)
+            rows["Rfull"][k] = self._pad_mat(R, self.m, self.m)
+            rows["H"][k] = self._pad_mat(H, self.m, self.n)
+            rows["q"][k] = self._pad_row(np.asarray(q, float), self.n)
+            rows["r"][k] = self._pad_row(np.asarray(r, float), self.m)
             rows["c"][k] = c
         self._cost_kind = "quadratic"
         return self
@@ -226,19 +294,49 @@ class ALTROSolver:
         self._cost_kind = "generic"
         return self
 
+    def _wrap_hetero_constraint(self, fn, jac, nk, mk):
+        """Slice padded (x, u) down to a knot's own dims for the user's
+        constraint callable; embed its Jacobian into the padded frame."""
+        n, m = self.n, self.m
+        if (nk, mk) == (n, m):
+            return fn, jac
+
+        def fn2(x, u, k):
+            return fn(x[:nk], u[:mk], k)
+
+        if jac is None:
+            return fn2, None
+
+        def jac2(x, u, k):
+            J = jac(x[:nk], u[:mk], k)  # [p, nk + mk]
+            out = jnp.zeros((J.shape[0], n + m), x.dtype)
+            out = out.at[:, :nk].set(J[:, :nk])
+            out = out.at[:, n:n + mk].set(J[:, nk:])
+            return out
+
+        return fn2, jac2
+
     def set_constraint(self, fn: Callable, dim: int, cone: Cone, label: str = "",
                        k_start: int = 0, k_stop: int = 0,
                        jacobian: Optional[Callable] = None):
-        """fn(x, u, k) -> [dim] (u is zeros at the terminal knot)."""
+        """fn(x, u, k) -> [dim] (u is zeros at the terminal knot). With
+        heterogeneous dims, fn receives the knot's OWN (n_k, m_k)-sized
+        state/input (the framework slices the padded vectors)."""
         if dim <= 0:
             raise AltroError(ErrorCode.INVALID_CONSTRAINT_DIM)
-        active = np.zeros(self.N + 1, bool)
-        for k in self._range(k_start, k_stop, inclusive=True):
-            active[k] = True
-        self._constraints.append(
-            ConstraintSpec(fn=fn, cone=cone, dim=dim, active=jnp.asarray(active),
-                           jac=jacobian, label=label)
+        ks = list(self._range(k_start, k_stop, inclusive=True))
+        groups = (
+            self._dims_groups(ks) if self._hetero else {(self.n, self.m): ks}
         )
+        for (nk, mk), knots in groups.items():
+            fn_w, jac_w = self._wrap_hetero_constraint(fn, jacobian, nk, mk)
+            active = np.zeros(self.N + 1, bool)
+            active[knots] = True
+            self._constraints.append(
+                ConstraintSpec(fn=fn_w, cone=cone, dim=dim,
+                               active=jnp.asarray(active), jac=jac_w,
+                               label=label)
+            )
         return self
 
     def set_state_bounds(self, x_lo=None, x_hi=None,
@@ -248,6 +346,7 @@ class ALTROSolver:
         self._require_dims()
         lo = np.full(self.n, -np.inf) if x_lo is None else np.asarray(x_lo, float)
         hi = np.full(self.n, np.inf) if x_hi is None else np.asarray(x_hi, float)
+        lo, hi = self._pad_bounds(lo, hi, self.n, k_start, k_stop, True, True)
         if np.any(hi < lo):
             raise AltroError(ErrorCode.INVALID_BOUND_CONSTRAINT)
         return self._bound_constraint(lo, hi, on_state=True, label="state bounds",
@@ -258,10 +357,29 @@ class ALTROSolver:
         self._require_dims()
         lo = np.full(self.m, -np.inf) if u_lo is None else np.asarray(u_lo, float)
         hi = np.full(self.m, np.inf) if u_hi is None else np.asarray(u_hi, float)
+        lo, hi = self._pad_bounds(lo, hi, self.m, k_start, k_stop, False, False)
         if np.any(hi < lo):
             raise AltroError(ErrorCode.INVALID_BOUND_CONSTRAINT)
         return self._bound_constraint(lo, hi, on_state=False, label="input bounds",
                                       k_start=k_start, k_stop=k_stop, inclusive=False)
+
+    def _pad_bounds(self, lo, hi, size, k_start, k_stop, inclusive, on_state):
+        """Extend knot-sized bound vectors to the padded max dimension
+        (padded coordinates get infinite bounds, i.e. unconstrained).
+        Requires uniform dims across the knot range."""
+        if lo.shape[0] == size:
+            return lo, hi
+        ks = list(self._range(k_start, k_stop, inclusive=inclusive))
+        dims = {self._knot_dims(k)[0 if on_state else 1] for k in ks}
+        if len(dims) != 1 or lo.shape[0] != next(iter(dims)):
+            raise AltroError(
+                ErrorCode.DIMENSION_MISMATCH,
+                "bound vector size must equal the knot dimension (uniform "
+                "over the range) or the padded max dimension",
+            )
+        pad = size - lo.shape[0]
+        return (np.concatenate([lo, np.full(pad, -np.inf)]),
+                np.concatenate([hi, np.full(pad, np.inf)]))
 
     def _bound_constraint(self, lo, hi, on_state, label, k_start, k_stop, inclusive):
         finite_hi = np.isfinite(hi)
@@ -306,6 +424,20 @@ class ALTROSolver:
     def _build_cost(self):
         rows = self._cost_rows
         dt = self.dtype
+        if self._hetero:
+            # Padded input coordinates get a unit cost diagonal: their
+            # B columns and linear costs are zero, so u_pad stays 0, and
+            # the unit term keeps Quu positive definite in the Riccati
+            # factorization. Padded state coordinates stay at zero cost
+            # (P rows vanish there; no factorization involved).
+            for k in range(self.N):
+                mk = self._knot_dims(k)[1]
+                if mk < self.m:
+                    rows["R"][k, mk:] = 1.0
+                    rr = rows["Rfull"][k]
+                    rr[mk:, :] = 0.0
+                    rr[:, mk:] = 0.0
+                    rr[range(mk, self.m), range(mk, self.m)] = 1.0
         if self._cost_kind == "generic":
             return self._generic_cost
         if self._cost_kind == "quadratic":
@@ -327,21 +459,59 @@ class ALTROSolver:
             c=jnp.asarray(rows["c"], dt),
         )
 
+    def _wrap_hetero_dynamics(self, f, j, nk, mk, nk1):
+        """Pad a (n_k, m_k) -> n_{k+1} dynamics callable to the max dims:
+        the wrapped fn slices the real coordinates, calls the user's
+        callable, and zero-fills the padded next-state coordinates (they
+        carry zero cost and zero Jacobian rows, so they stay inert)."""
+        n, m = self.n, self.m
+        if (nk, mk, nk1) == (n, m, n):
+            return f, j
+
+        def dyn(x, u, h, k):
+            xn = f(x[:nk], u[:mk], h, k)
+            if nk1 < n:
+                xn = jnp.concatenate([xn, jnp.zeros((n - nk1,), x.dtype)])
+            return xn
+
+        if j is None:
+            return dyn, None
+
+        def jac(x, u, h, k):
+            J = j(x[:nk], u[:mk], h, k)  # [nk1, nk + mk]
+            out = jnp.zeros((n, n + m), x.dtype)
+            out = out.at[:nk1, :nk].set(J[:, :nk])
+            out = out.at[:nk1, n:n + mk].set(J[:, nk:])
+            return out
+
+        return dyn, jac
+
     def _build_dynamics(self):
         fns = self._dynamics
         jacs = self._dynamics_jac
         if any(f is None for f in fns):
             raise AltroError(ErrorCode.DYNAMICS_FUN_NOT_SET)
+        hetero = self._hetero
         unique = []
+        keys = []
         index = np.zeros(self.N, np.int32)
         for k, f in enumerate(fns):
-            for i, (g, _) in enumerate(unique):
-                if g is f:
+            nk, mk = self._knot_dims(k)
+            nk1 = self._knot_dims(k + 1)[0]
+            key = (id(f), id(jacs[k]), nk, mk, nk1) if hetero else (id(f), id(jacs[k]))
+            for i, kk in enumerate(keys):
+                if kk == key:
                     index[k] = i
                     break
             else:
                 index[k] = len(unique)
-                unique.append((f, jacs[k]))
+                keys.append(key)
+                fk, jk = (
+                    self._wrap_hetero_dynamics(f, jacs[k], nk, mk, nk1)
+                    if hetero
+                    else (f, jacs[k])
+                )
+                unique.append((fk, jk))
         if len(unique) == 1:
             return unique[0][0], unique[0][1]
         # Per-knot dynamics: dispatch with lax.switch on a static index map
@@ -365,6 +535,19 @@ class ALTROSolver:
         # knotpoint_data_test.cpp:71-93): dimensions -> timestep ->
         # dynamics -> cost.
         self._require_dims()
+        if self._nk is not None and np.any(self._nk < 0):
+            raise AltroError(
+                ErrorCode.STATE_DIM_UNKNOWN,
+                "set_dimension left knots %s unset"
+                % np.where(self._nk < 0)[0].tolist(),
+            )
+        if self._hetero and self._cost_kind == "generic":
+            raise AltroError(
+                ErrorCode.DIMENSION_MISMATCH,
+                "generic costs are not supported with heterogeneous "
+                "dimensions (the framework cannot mask unknown cost terms "
+                "on padded coordinates); use diagonal/quadratic costs",
+            )
         if np.any(self._h <= 0):
             raise AltroError(ErrorCode.TIMESTEP_NOT_POSITIVE)
         dyn, jac = self._build_dynamics()
@@ -372,6 +555,14 @@ class ALTROSolver:
             raise AltroError(ErrorCode.COST_FUN_NOT_SET)
         if self._x0 is None:
             self._x0 = np.zeros(self.n)
+        elif self._x0.shape[0] < self.n:
+            n0 = self._knot_dims(0)[0]
+            if self._x0.shape[0] != n0:
+                raise AltroError(ErrorCode.DIMENSION_MISMATCH,
+                                 "x0 must match the knot-0 state dimension")
+            self._x0 = np.concatenate(
+                [self._x0, np.zeros(self.n - self._x0.shape[0])]
+            )
         self._problem = Problem(
             N=self.N, n=self.n, m=self.m, dynamics=dyn, dynamics_jac=jac,
             constraints=tuple(self._constraints), cost=self._build_cost(),
@@ -525,11 +716,11 @@ class ALTROSolver:
 
     def get_state(self, k: int) -> np.ndarray:
         self._require_init()
-        return np.asarray(self._state.x[k])
+        return np.asarray(self._state.x[k])[: self._knot_dims(k)[0]]
 
     def get_input(self, k: int) -> np.ndarray:
         self._require_init()
-        return np.asarray(self._state.u[k])
+        return np.asarray(self._state.u[k])[: self._knot_dims(k)[1]]
 
     def get_dual_dynamics(self, k: int) -> np.ndarray:
         self._require_init()
@@ -585,11 +776,13 @@ class ALTROSolver:
     def get_horizon_length(self) -> int:
         return self.N
 
-    def get_state_dim(self) -> int:
-        return self.n
+    def get_state_dim(self, k: Optional[int] = None) -> int:
+        """State dimension (of knot k with heterogeneous dims; the padded
+        max dimension when k is omitted)."""
+        return self.n if k is None else self._knot_dims(k)[0]
 
-    def get_input_dim(self) -> int:
-        return self.m
+    def get_input_dim(self, k: Optional[int] = None) -> int:
+        return self.m if k is None else self._knot_dims(k)[1]
 
     # ----------------------------------------------------------------- MPC
 

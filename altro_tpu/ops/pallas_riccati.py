@@ -22,6 +22,27 @@ single kernel launch:
 Batches larger than one 1024-lane tile run as a second (sequential)
 grid dimension; the carry scratch re-initializes at knot 0 of each tile.
 
+Two operand layouts are supported (same kernel, different BlockSpecs):
+
+  * batch-major (`riccati_backward_pallas`): plain [B, N, ...] arrays.
+    The wrapper relayouts them to lane tiles — measured to cost as much
+    as the recursion itself at headline scale (docs/PERF.md: the
+    batch-major -> batch-minor transpose of ~23 MB of operands
+    reproduces the whole kernel cost).
+  * batch-trailing tiled (`riccati_backward_pallas_bt`): operands arrive
+    already shaped [N, ..., Bt, 8, 128] (knot-leading, lane-tile
+    trailing) and outputs are returned in the same layout — ZERO
+    relayout on either side. This is the tile-resident path: the
+    solver's expansion producers emit lane-tile arrays directly and the
+    per-iteration data never changes layout (docs/PERF.md round-2 plan).
+
+Per-operand structure flags further cut HBM traffic on the tiled path:
+`with_f=False` drops the affine dynamics term (always zero inside the
+solver — dyn_expansion zeroes it), `with_lux=False` drops the
+cross-Hessian, and `diag_cost=True` streams lxx/luu as diagonals
+([.., n, ..] instead of [.., n, n, ..]) — the reference's `is_diag`
+fast path (tvlqr.cpp:85-89,125-128) in lane-tile form.
+
 Kernel structure follows /opt/skills/guides/pallas_guide.md; the math is
 the recursion of altro_tpu.tvlqr.tvlqr_backward (== reference
 tvlqr.cpp:124-191).
@@ -37,43 +58,82 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["riccati_backward_pallas", "BATCH_TILE"]
+__all__ = [
+    "riccati_backward_pallas",
+    "riccati_backward_pallas_tiled",
+    "BATCH_TILE",
+    "batch_to_tiles",
+    "tiles_to_batch",
+]
 
 SUB, LANE = 8, 128
 BATCH_TILE = SUB * LANE  # 1024 lanes per batch tile
 
 
-def _kernel(n, m, N, A_ref, B_ref, f_ref, lxx_ref, luu_ref, lux_ref,
-            lx_ref, lu_ref, lxxT_ref, lxT_ref, reg_ref,
-            K_ref, d_ref, P_ref, p_ref, dV_ref, flags_ref, Pc, pc):
+def _kernel(n, m, N, bt, diag_cost, with_f, with_lux, *refs):
     """One grid step = one knot (k = N-1-program_id(1)) of one batch tile.
 
-    Streamed refs hold that knot's blocks of (8,128) lane tiles:
-    A:[1,1,n,n,8,128] B:[1,1,n,m,...] f:[1,1,n] lxx:[1,1,n,n] luu:[1,1,m,m]
-    lux:[1,1,m,n] lx:[1,1,n] lu:[1,1,m]; lxxT/lxT are the terminal cost
-    blocks and reg the per-lane Quu regularization (constant across the
-    grid). Outputs: K:[1,1,m,n] d:[1,1,m] P:[1,1,n,n] p:[1,1,n] (knots
-    0..N-1; the caller appends P_N = lxx_N), dV:[1,2], flags:[1,2]
-    (= [ok, smallest failing knot]; accumulated in place, constant block
-    index). Scratch carry: Pc:[n,n,8,128], pc:[n,8,128] — persists across
-    the sequential grid, re-initialized at each tile's first step.
+    Streamed refs hold that knot's blocks of (8,128) lane tiles. Operand
+    order: A, B, [f], lxx, luu, [lux], lx, lu, lxxT, lxT, reg, then
+    outputs K, d, P, p, dV, flags, then scratch Pc, pc. With bt=False the
+    blocks are (1, 1, *entry_dims, 8, 128) (batch-tile index leading);
+    with bt=True they are (1, *entry_dims, 1, 8, 128) (knot leading,
+    batch-tile index trailing). dV/flags accumulate in place at a
+    constant block index: [1, 2, 8, 128] resp. [2, 1, 8, 128].
+    Scratch carry: Pc [n, n, 8, 128], pc [n, 8, 128] — persists across
+    the sequential knot grid, re-initialized at each tile's first step.
     """
+    it = iter(refs)
+    A_ref, B_ref = next(it), next(it)
+    f_ref = next(it) if with_f else None
+    lxx_ref, luu_ref = next(it), next(it)
+    lux_ref = next(it) if with_lux else None
+    lx_ref, lu_ref, lxxT_ref, lxT_ref, reg_ref = (
+        next(it), next(it), next(it), next(it), next(it))
+    K_ref, d_ref, P_ref, p_ref, dV_ref, flags_ref, Pc, pc = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+        next(it), next(it))
+
+    if bt:
+        def ld(ref, *idx):
+            return ref[(0,) + idx + (0,)]
+
+        def st(ref, val, *idx):
+            ref[(0,) + idx + (0,)] = val
+
+        def acc_at(ref, j):  # dV/flags: [2, 1, 8, 128] blocks
+            return (j, 0)
+    else:
+        def ld(ref, *idx):
+            return ref[(0, 0) + idx]
+
+        def st(ref, val, *idx):
+            ref[(0, 0) + idx] = val
+
+        def acc_at(ref, j):  # dV/flags: [1, 2, 8, 128] blocks
+            return (0, j)
+
+    def lxx_at(ref, i, j):
+        if diag_cost:
+            return ld(ref, i) if i == j else None
+        return ld(ref, i, j)
+
     step = pl.program_id(1)
 
     @pl.when(step == 0)
     def _init():
         for i in range(n):
             for j in range(n):
-                Pc[i, j] = lxxT_ref[0, 0, i, j]
-            pc[i] = lxT_ref[0, 0, i]
-        dV_ref[0, 0] = jnp.zeros((SUB, LANE), jnp.float32)
-        dV_ref[0, 1] = jnp.zeros((SUB, LANE), jnp.float32)
-        flags_ref[0, 0] = jnp.ones((SUB, LANE), jnp.float32)
-        flags_ref[0, 1] = jnp.full((SUB, LANE), float(N), jnp.float32)
+                v = lxx_at(lxxT_ref, i, j)
+                Pc[i, j] = jnp.zeros((SUB, LANE), jnp.float32) if v is None else v
+            pc[i] = ld(lxT_ref, i)
+        dV_ref[acc_at(dV_ref, 0)] = jnp.zeros((SUB, LANE), jnp.float32)
+        dV_ref[acc_at(dV_ref, 1)] = jnp.zeros((SUB, LANE), jnp.float32)
+        flags_ref[acc_at(flags_ref, 0)] = jnp.ones((SUB, LANE), jnp.float32)
+        flags_ref[acc_at(flags_ref, 1)] = jnp.full((SUB, LANE), float(N), jnp.float32)
 
-    a = [[A_ref[0, 0, i, j] for j in range(n)] for i in range(n)]
-    b = [[B_ref[0, 0, i, j] for j in range(m)] for i in range(n)]
-    fv = [f_ref[0, 0, i] for i in range(n)]
+    a = [[ld(A_ref, i, j) for j in range(n)] for i in range(n)]
+    b = [[ld(B_ref, i, j) for j in range(m)] for i in range(n)]
     Pn = [[Pc[i, j] for j in range(n)] for i in range(n)]
     pn = [pc[i] for i in range(n)]
 
@@ -82,18 +142,34 @@ def _kernel(n, m, N, A_ref, B_ref, f_ref, lxx_ref, luu_ref, lux_ref,
            for i in range(n)]
     BtP = [[sum(b[l][i] * Pn[l][j] for l in range(n)) for j in range(n)]
            for i in range(m)]
-    Qxx = [[lxx_ref[0, 0, i, j] + sum(AtP[i][l] * a[l][j] for l in range(n))
+
+    def plus(base, extra):
+        return extra if base is None else base + extra
+
+    Qxx = [[plus(lxx_at(lxx_ref, i, j),
+                 sum(AtP[i][l] * a[l][j] for l in range(n)))
             for j in range(n)] for i in range(n)]
-    Quu = [[luu_ref[0, 0, i, j] + sum(BtP[i][l] * b[l][j] for l in range(n))
+    Quu = [[plus(lxx_at(luu_ref, i, j),
+                 sum(BtP[i][l] * b[l][j] for l in range(n)))
             for j in range(m)] for i in range(m)]
-    Qux = [[lux_ref[0, 0, i, j] + sum(BtP[i][l] * a[l][j] for l in range(n))
-            for j in range(n)] for i in range(m)]
-    t = [sum(Pn[i][l] * fv[l] for l in range(n)) + pn[i] for i in range(n)]
-    Qx = [lx_ref[0, 0, i] + sum(a[l][i] * t[l] for l in range(n)) for i in range(n)]
-    Qu = [lu_ref[0, 0, i] + sum(b[l][i] * t[l] for l in range(n)) for i in range(m)]
+    if with_lux:
+        Qux = [[ld(lux_ref, i, j) + sum(BtP[i][l] * a[l][j] for l in range(n))
+                for j in range(n)] for i in range(m)]
+    else:
+        Qux = [[sum(BtP[i][l] * a[l][j] for l in range(n))
+                for j in range(n)] for i in range(m)]
+    if with_f:
+        fv = [ld(f_ref, i) for i in range(n)]
+        t = [sum(Pn[i][l] * fv[l] for l in range(n)) + pn[i] for i in range(n)]
+    else:
+        t = pn
+    Qx = [ld(lx_ref, i) + sum(a[l][i] * t[l] for l in range(n)) for i in range(n)]
+    Qu = [ld(lu_ref, i) + sum(b[l][i] * t[l] for l in range(n)) for i in range(m)]
 
     # Unrolled Cholesky of Quu + reg I, per lane
-    reg = reg_ref[0, 0]
+    # (reg carries a dummy entry axis in bt layout so the accessor needs
+    # one index there; the batch-major tile has no entry axis)
+    reg = ld(reg_ref, 0) if bt else ld(reg_ref)
     L = [[None] * m for _ in range(m)]
     ok_knot = jnp.ones((SUB, LANE), jnp.float32)
     for j in range(m):
@@ -110,11 +186,13 @@ def _kernel(n, m, N, A_ref, B_ref, f_ref, lxx_ref, luu_ref, lux_ref,
             for kk in range(j):
                 s = s - L[i][kk] * L[j][kk]
             L[i][j] = s * inv
-    flags_ref[0, 0] = flags_ref[0, 0] * ok_knot
+    flags_ref[acc_at(flags_ref, 0)] = flags_ref[acc_at(flags_ref, 0)] * ok_knot
     # smallest failing knot: backward order visits decreasing k, so the
-    # last overwrite wins (== the min); N when no failure
+    # last overwrite wins (== the min); N when no failure. Carried in an
+    # f32 tile, exact for N < 2**24 (far above any realistic horizon).
     k_f = (N - 1 - step).astype(jnp.float32)
-    flags_ref[0, 1] = jnp.where(ok_knot < 0.5, k_f, flags_ref[0, 1])
+    flags_ref[acc_at(flags_ref, 1)] = jnp.where(
+        ok_knot < 0.5, k_f, flags_ref[acc_at(flags_ref, 1)])
     # per-knot select, NOT a multiply: the guarded factorization of a
     # failed Quu can overflow to inf and 0*inf = NaN would poison the
     # carry for every remaining knot; where() selects 0 cleanly and the
@@ -149,8 +227,8 @@ def _kernel(n, m, N, A_ref, B_ref, f_ref, lxx_ref, luu_ref, lux_ref,
 
     for i in range(m):
         for j in range(n):
-            K_ref[0, 0, i, j] = Kk[i][j]
-        d_ref[0, 0, i] = dk[i]
+            st(K_ref, Kk[i][j], i, j)
+        st(d_ref, dk[i], i)
 
     # Cost-to-go update
     QuuK = [[sum(Quu[i][l] * Kk[l][j] for l in range(m)) for j in range(n)]
@@ -163,18 +241,19 @@ def _kernel(n, m, N, A_ref, B_ref, f_ref, lxx_ref, luu_ref, lux_ref,
                   + sum(QuuK[l][i] * Kk[l][j] for l in range(m))
                   - KtQux[i][j] - KtQux[j][i])
             Pc[i, j] = Pk
-            P_ref[0, 0, i, j] = Pk
+            st(P_ref, Pk, i, j)
     for i in range(n):
         pk = (Qx[i]
               - sum(QuuK[l][i] * dk[l] for l in range(m))
               - sum(Kk[l][i] * Qu[l] for l in range(m))
               + sum(Qux[l][i] * dk[l] for l in range(m)))
         pc[i] = pk
-        p_ref[0, 0, i] = pk
+        st(p_ref, pk, i)
 
     # Expected decrease
-    dV_ref[0, 0] = dV_ref[0, 0] + sum(dk[i] * Qu[i] for i in range(m))
-    dV_ref[0, 1] = dV_ref[0, 1] + 0.5 * sum(
+    dV_ref[acc_at(dV_ref, 0)] = dV_ref[acc_at(dV_ref, 0)] + sum(
+        dk[i] * Qu[i] for i in range(m))
+    dV_ref[acc_at(dV_ref, 1)] = dV_ref[acc_at(dV_ref, 1)] + 0.5 * sum(
         dk[i] * sum(Quu[i][l] * dk[l] for l in range(m)) for i in range(m)
     )
 
@@ -253,7 +332,7 @@ def _run(A, B, f, lxx, luu, lux, lx, lu, reg, interpret=False):
         jax.ShapeDtypeStruct((bt, 2) + T, jnp.float32),            # dV
         jax.ShapeDtypeStruct((bt, 2) + T, jnp.float32),            # flags
     )
-    kern = functools.partial(_kernel, n, m, N)
+    kern = functools.partial(_kernel, n, m, N, False, False, True, True)
     outs = pl.pallas_call(
         kern,
         grid=(bt, N),
@@ -297,3 +376,145 @@ def riccati_backward_pallas(A, B, f, lxx, luu, lux, lx, lu, reg=0.0,
     args = tuple(jnp.asarray(a, jnp.float32) for a in (A, B, f, lxx, luu, lux, lx, lu))
     return PallasGains(*_run(*args, jnp.asarray(reg, jnp.float32),
                              interpret=interpret))
+
+
+class PallasGainsBT(NamedTuple):
+    """Gains in lane-tile layout ([Bt, N, entry..., 8, 128])."""
+
+    K: jnp.ndarray  # [Bt, N, m, n, 8, 128]
+    d: jnp.ndarray  # [Bt, N, m, 8, 128]
+    P: jnp.ndarray  # [Bt, N+1, n, n, 8, 128]
+    p: jnp.ndarray  # [Bt, N+1, n, 8, 128]
+    delta_V: jnp.ndarray  # [Bt, 2, 8, 128]
+    ok: jnp.ndarray  # [Bt, 8, 128] bool
+    fail_index: jnp.ndarray  # [Bt, 8, 128] int32
+
+
+@functools.partial(jax.jit, static_argnames=("diag_cost", "interpret"))
+def _run_tiled(A, B, lxx, luu, lux, lx, lu, reg, diag_cost=False,
+               interpret=False):
+    """Tile-resident entry: operands [Bt, N(+1), entry..., 8, 128].
+
+    Same physical layout the batch-major wrapper relayouts INTO — but
+    here the caller's producers emit it directly, so there is zero
+    relayout on either side and every streamed block is one contiguous
+    (entry * 4 KB) chunk. The affine dynamics term f is omitted (always
+    zero inside the solver — dyn_expansion zeroes it); lux may be None
+    (zero cross-Hessian) and diag_cost streams lxx/luu as diagonals
+    (the reference's is_diag fast path, tvlqr.cpp:85-89,125-128).
+    """
+    bt, N = A.shape[0], A.shape[1]
+    n = A.shape[2]
+    m = B.shape[3]
+    with_lux = lux is not None
+    T = (SUB, LANE)
+    lxxT = lxx[:, N:]     # [bt, 1, n(, n), 8, 128]
+    lxT = lx[:, N:]       # [bt, 1, n, 8, 128]
+    reg4 = reg[:, None]   # [bt, 1, 8, 128]
+
+    def knot_spec(*blk):
+        nblk = len(blk)
+        return pl.BlockSpec(
+            (1, 1) + blk + T,
+            lambda b, s, nblk=nblk: (b, N - 1 - s) + (0,) * nblk + (0, 0),
+        )
+
+    def const_spec(*blk):
+        nblk = len(blk)
+        return pl.BlockSpec(
+            (1, 1) + blk + T,
+            lambda b, s, nblk=nblk: (b, 0) + (0,) * nblk + (0, 0),
+        )
+
+    in_arrays = [A, B, lxx[:, :N], luu]
+    in_specs = [knot_spec(n, n), knot_spec(n, m)]
+    if diag_cost:
+        in_specs += [knot_spec(n), knot_spec(m)]
+    else:
+        in_specs += [knot_spec(n, n), knot_spec(m, m)]
+    if with_lux:
+        in_arrays.append(lux)
+        in_specs.append(knot_spec(m, n))
+    in_arrays += [lx[:, :N], lu, lxxT, lxT, reg4]
+    in_specs += [
+        knot_spec(n), knot_spec(m),
+        const_spec(n) if diag_cost else const_spec(n, n),
+        const_spec(n), const_spec(),
+    ]
+
+    out_specs = (
+        knot_spec(m, n), knot_spec(m),
+        knot_spec(n, n), knot_spec(n),
+        pl.BlockSpec((1, 2) + T, lambda b, s: (b, 0, 0, 0)),   # dV
+        pl.BlockSpec((1, 2) + T, lambda b, s: (b, 0, 0, 0)),   # flags
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((bt, N, m, n) + T, jnp.float32),      # K
+        jax.ShapeDtypeStruct((bt, N, m) + T, jnp.float32),         # d
+        jax.ShapeDtypeStruct((bt, N, n, n) + T, jnp.float32),      # P (0..N-1)
+        jax.ShapeDtypeStruct((bt, N, n) + T, jnp.float32),         # p (0..N-1)
+        jax.ShapeDtypeStruct((bt, 2) + T, jnp.float32),            # dV
+        jax.ShapeDtypeStruct((bt, 2) + T, jnp.float32),            # flags
+    )
+    # bt=False: the tiled layout uses the same (batch-tile leading)
+    # block convention as the batch-major wrapper
+    kern = functools.partial(_kernel, n, m, N, False, diag_cost, False,
+                             with_lux)
+    outs = pl.pallas_call(
+        kern,
+        grid=(bt, N),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((n, n, SUB, LANE), jnp.float32),
+            pltpu.VMEM((n, SUB, LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=interpret,
+    )(*in_arrays)
+    K, d, P_st, p_st, dV, flags = outs
+    if diag_cost:
+        # expand the diagonal terminal cost to the dense P_N block
+        eye = jnp.eye(n, dtype=lxxT.dtype)[None, None, :, :, None, None]
+        PN = lxxT[:, :, :, None] * eye  # [bt, 1, n, n, 8, 128]
+    else:
+        PN = lxxT
+    P = jnp.concatenate([P_st, PN], axis=1)
+    p = jnp.concatenate([p_st, lxT], axis=1)
+    return (K, d, P, p, dV, flags[:, 0] > 0.5, flags[:, 1].astype(jnp.int32))
+
+
+def riccati_backward_pallas_tiled(A, B, lxx, luu, lx, lu, reg, lux=None,
+                                  diag_cost=False,
+                                  interpret=False) -> PallasGainsBT:
+    """Tile-resident fused Riccati backward pass (zero relayout).
+
+    Args (float32, lane tiles trailing, batch-tile index leading):
+      A: [Bt, N, n, n, 8, 128], B: [Bt, N, n, m, 8, 128],
+      lxx: [Bt, N+1, n, n, ...] (or [Bt, N+1, n, ...] when diag_cost),
+      luu: [Bt, N, m, m, ...] (or [Bt, N, m, ...] when diag_cost),
+      lx: [Bt, N+1, n, ...], lu: [Bt, N, m, ...], reg: [Bt, 8, 128],
+      lux: [Bt, N, m, n, ...] or None (zero cross-Hessian).
+
+    The affine dynamics term is implicitly zero (the solver's
+    dyn_expansion zeroes it — problem.py dyn_expansion docstring).
+    Returns PallasGainsBT in the same layout; use `tiles_to_batch`
+    only at pipeline edges where batch-major views are needed.
+    """
+    return PallasGainsBT(*_run_tiled(
+        A, B, lxx, luu, lux, lx, lu, reg,
+        diag_cost=diag_cost, interpret=interpret))
+
+
+def batch_to_tiles(x):
+    """[B, *rest] -> [Bt, *rest, 8, 128] (an explicit relayout; only for
+    tests and pipeline edges — producers should emit tiles directly)."""
+    return _to_tiles(x)
+
+
+def tiles_to_batch(x):
+    """[Bt, *rest, 8, 128] -> [B, *rest] (explicit relayout)."""
+    return _from_tiles(x)

@@ -151,6 +151,18 @@ class SolverOptions:
     # Mutually exclusive with parallel_riccati / symmetrize_ctg (a
     # ValueError at solve time).
     pallas_backward: bool = False
+    # Tile-resident variant of pallas_backward: moves the custom_vmap
+    # boundary up to the whole "AL expansions + backward" block, so the
+    # batched rule produces the expansion operands directly in the
+    # kernel's (8, 128) lane-tile layout (nested vmaps with trailing
+    # batch axes) instead of relayouting batch-major arrays —
+    # docs/PERF.md round-1 measured that relayout to dominate the
+    # fused-backward cost. Measured 1.37-1.42x on the isolated
+    # expansion+backward block at headline scale (ops/tiled_backward.py,
+    # scripts/proto_tile_real.py), but currently a regression inside the
+    # full fused solve loop (under investigation) — hence opt-in.
+    # The per-lane (unbatched) path is unchanged, so f64 parity holds.
+    pallas_tile_resident: bool = False
     throw_errors: bool = True  # host API raises on failed solve
     # Re-symmetrize the Riccati cost-to-go each step: recommended for
     # long horizons (N >~ 100) in f32, where roundoff asymmetry compounds

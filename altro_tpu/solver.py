@@ -43,7 +43,7 @@ from altro_tpu.linesearch import (
 from altro_tpu.options import SolverOptions, Verbosity
 from altro_tpu.problem import Problem
 from altro_tpu.status import LineSearchCode, SolveStatus
-from altro_tpu.tvlqr import tvlqr_backward, tvlqr_backward_associative
+from altro_tpu.tvlqr import TVLQRGains, tvlqr_backward, tvlqr_backward_associative
 
 __all__ = ["SolverState", "SolveStats", "init_state", "solve", "open_loop_rollout", "total_cost"]
 
@@ -558,14 +558,33 @@ def al_total_cost(problem: Problem, x, u, z, rho):
 # ---------------------------------------------------------------------------
 
 
-def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
-    """Riccati backward pass; on Cholesky failure bump reg and retry.
+def _retry_loop(opts: SolverOptions, attempt, reg0):
+    """Adaptive-regularization retry: on Cholesky failure bump reg
+    geometrically (up to reg_max_retries) and re-run `attempt`.
 
     The reference hardwires reg = 0 and aborts the solve on failure
-    (solver.cpp:363, 373-377); here a failed factorization bumps the
-    regularization geometrically up to `reg_max_retries` times so a lane
-    recovers instead of dying.
+    (solver.cpp:363, 373-377); here a failed factorization retries so a
+    lane recovers instead of dying.
     """
+    gains0 = attempt(reg0)
+
+    def cond(c):
+        g, reg, tries = c
+        return jnp.logical_and(jnp.logical_not(g.ok), tries < opts.reg_max_retries)
+
+    def body(c):
+        g, reg, tries = c
+        new_reg = jnp.where(reg <= 0, opts.reg_min, reg * opts.reg_scaling)
+        return attempt(new_reg), new_reg, tries + 1
+
+    gains, reg_used, _ = jax.lax.while_loop(
+        cond, body, (gains0, reg0, jnp.asarray(0, jnp.int32))
+    )
+    return gains, reg_used
+
+
+def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
+    """Riccati backward pass with the adaptive-regularization retry."""
     f_zero = jnp.zeros_like(lx[: A.shape[0]])
 
     if opts.pallas_backward and (opts.parallel_riccati or opts.symmetrize_ctg):
@@ -592,21 +611,7 @@ def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
                 symmetrize=opts.symmetrize_ctg,
             )
 
-    gains0 = attempt(reg0)
-
-    def cond(c):
-        g, reg, tries = c
-        return jnp.logical_and(jnp.logical_not(g.ok), tries < opts.reg_max_retries)
-
-    def body(c):
-        g, reg, tries = c
-        new_reg = jnp.where(reg <= 0, opts.reg_min, reg * opts.reg_scaling)
-        return attempt(new_reg), new_reg, tries + 1
-
-    gains, reg_used, _ = jax.lax.while_loop(
-        cond, body, (gains0, reg0, jnp.asarray(0, jnp.int32))
-    )
-    return gains, reg_used
+    return _retry_loop(opts, attempt, reg0)
 
 
 # ---------------------------------------------------------------------------
@@ -672,6 +677,17 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         verbose=opts.verbose >= Verbosity.LINE_SEARCH,
     )
 
+    use_tiled_boundary = (
+        opts.pallas_backward
+        and opts.pallas_tile_resident
+        and not opts.parallel_riccati
+        and not opts.symmetrize_ctg
+    )
+    if use_tiled_boundary:
+        from altro_tpu.ops.tiled_backward import make_expand_backward
+
+        expand_backward = make_expand_backward(opts)
+
     # Prologue (solver.cpp:418-434): reset penalty, rollout, make reference
     rho0 = jnp.asarray(opts.penalty_initial, dtype)
     if opts.penalty_warm_start:
@@ -724,13 +740,24 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         # 1. AL cost expansions (+ AL cost = phi(0)) at the reference
         #    trajectory; the dynamics Jacobians A, B depend only on
         #    (x, u) and are reused from the accepted merit evaluation
-        lx, lu, lxx, luu, lux, phi0 = _cost_expansions_and_cost(
-            problem, c.x, c.u, c.z, c.rho
-        )
-        A, B = c.A, c.B
-
         # 2. Riccati backward pass with adaptive regularization
-        gains, reg_used = backward_adaptive(opts, A, B, lxx, luu, lux, lx, lu, c.reg)
+        A, B = c.A, c.B
+        if use_tiled_boundary:
+            # one custom_vmap boundary around both steps: the batched
+            # rule produces the expansions directly in lane-tile layout
+            # and runs the fused kernel with zero operand relayout
+            # (ops/tiled_backward.py)
+            eb = expand_backward(problem, c.x, c.u, c.z, c.rho, A, B, c.reg)
+            gains = TVLQRGains(eb.K, eb.d, eb.P, eb.p, eb.delta_V, eb.ok,
+                               eb.fail_index)
+            reg_used, phi0, lx, lu = eb.reg_used, eb.phi0, eb.lx, eb.lu
+        else:
+            lx, lu, lxx, luu, lux, phi0 = _cost_expansions_and_cost(
+                problem, c.x, c.u, c.z, c.rho
+            )
+            gains, reg_used = backward_adaptive(
+                opts, A, B, lxx, luu, lux, lx, lu, c.reg
+            )
         bp_failed = jnp.logical_not(gains.ok)
 
         # 3. Merit derivative at alpha = 0: the classical iLQR
