@@ -135,6 +135,53 @@ def al_hess(problem: Problem, k, x, u, z, rho, terminal: bool):
     return lxx, luu, lux
 
 
+def diag_expansion_eligible(problem: Problem) -> bool:
+    """True when the AL cost Hessian is diagonal at every knot: diagonal
+    cost (the reference's is_diag fast path, tvlqr.cpp:85-89,125-128)
+    and every constraint group declared `diag_hessian` (its projected
+    Gauss-Newton term J^T dP^T dP J is diagonal — e.g. bound
+    constraints, whose Jacobian rows are +-e_i)."""
+    from altro_tpu.problem import DiagonalCost
+
+    return isinstance(problem.cost, DiagonalCost) and all(
+        spec.diag_hessian for spec in problem.constraints
+    )
+
+
+def al_hess_diag(problem: Problem, k, x, u, z, rho, terminal: bool):
+    """Diagonal Gauss-Newton AL Hessian (lxx_diag [n], luu_diag [m]).
+
+    Valid only when `diag_expansion_eligible(problem)`: the cost Hessian
+    is diag(Q), diag(R) and each constraint's Gauss-Newton term
+    rho * (dP J)^T (dP J) is diagonal (declared via
+    ConstraintSpec.diag_hessian), so its diagonal sum_r (dP J)[r, c]^2
+    IS the full matrix. Linear cones only (the SOC curvature term is
+    never diagonal) — enforced by the diag_hessian declaration contract.
+    """
+    n, m = problem.n, problem.m
+    dtype = x.dtype
+    if terminal:
+        u = _terminal_u(problem)
+        lxxd = problem.cost.Q[-1]
+        luud = jnp.zeros((m,), dtype)
+    else:
+        lxxd = problem.cost.Q[k]
+        luud = problem.cost.R[k]
+    convals = constraint_values(problem, k, x, u)
+    z_est, _ = projected_duals(problem, convals, z, rho)
+    for spec, ze in zip(problem.constraints, z_est):
+        dual = cones.dual_cone(spec.cone)
+        Jc = spec.jacobian(x, u, k)  # [p, n+m]
+        Pj = cones.project_jacobian(dual, ze)  # [p, p]
+        Jt = mm(Pj, Jc)
+        hd = rho * jnp.sum(Jt * Jt, axis=0)  # diag of Jt^T Jt
+        active = spec.active[k]
+        lxxd = lxxd + jnp.where(active, hd[:n], 0.0)
+        if not terminal:
+            luud = luud + jnp.where(active, hd[n:], 0.0)
+    return lxxd, luud
+
+
 def knot_violation(problem: Problem, k, convals):
     """max_j ||P_K(c_j) - c_j||_inf at one knot (0 if nothing active).
 

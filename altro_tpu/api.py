@@ -402,7 +402,8 @@ class ALTROSolver:
             active[k] = True
         self._constraints.append(
             ConstraintSpec(fn=fn, cone=Cone.NEGATIVE_ORTHANT, dim=2 * dim,
-                           active=jnp.asarray(active), label=label)
+                           active=jnp.asarray(active), label=label,
+                           diag_hessian=True)  # Jacobian rows are +-e_i
         )
         return self
 

@@ -76,7 +76,7 @@ def _on_tpu() -> bool:
 
 
 def _expansions_tiled(problem, prob_axes, x_t, u_t, z_t, z_axes, rho_t,
-                      rho_b):
+                      rho_b, diag=False):
     """AL + dynamics expansions with batch axes trailing.
 
     problem: Problem pytree whose BATCHED array leaves are tiled
@@ -92,18 +92,36 @@ def _expansions_tiled(problem, prob_axes, x_t, u_t, z_t, z_axes, rho_t,
     N = problem.N
     ks = jnp.arange(N, dtype=jnp.int32)
 
-    def stage(prob, k, xk, uk, zk, rho):
-        lx, lu = al.al_grad(prob, k, xk, uk, zk, rho, terminal=False)
-        lxx, luu, lux = al.al_hess(prob, k, xk, uk, zk, rho, terminal=False)
-        cost_k, _, _ = al.al_cost(prob, k, xk, uk, zk, rho, terminal=False)
-        A, B = prob.dyn_expansion(k, xk, uk)
-        return A, B, lx, lu, lxx, luu, lux, cost_k
+    if diag:
+        # diagonal expansion fast path (al.al_hess_diag): lxx/luu stream
+        # as diagonals, the cross-Hessian is identically zero
+        def stage(prob, k, xk, uk, zk, rho):
+            lx, lu = al.al_grad(prob, k, xk, uk, zk, rho, terminal=False)
+            lxxd, luud = al.al_hess_diag(prob, k, xk, uk, zk, rho,
+                                         terminal=False)
+            cost_k, _, _ = al.al_cost(prob, k, xk, uk, zk, rho, terminal=False)
+            A, B = prob.dyn_expansion(k, xk, uk)
+            return A, B, lx, lu, lxxd, luud, cost_k
 
-    def term(prob, xN, zN, rho):
-        lxN, _ = al.al_grad(prob, N, xN, None, zN, rho, terminal=True)
-        lxxN, _, _ = al.al_hess(prob, N, xN, None, zN, rho, terminal=True)
-        costN, _, _ = al.al_cost(prob, N, xN, None, zN, rho, terminal=True)
-        return lxN, lxxN, costN
+        def term(prob, xN, zN, rho):
+            lxN, _ = al.al_grad(prob, N, xN, None, zN, rho, terminal=True)
+            lxxdN, _ = al.al_hess_diag(prob, N, xN, None, zN, rho,
+                                       terminal=True)
+            costN, _, _ = al.al_cost(prob, N, xN, None, zN, rho, terminal=True)
+            return lxN, lxxdN, costN
+    else:
+        def stage(prob, k, xk, uk, zk, rho):
+            lx, lu = al.al_grad(prob, k, xk, uk, zk, rho, terminal=False)
+            lxx, luu, lux = al.al_hess(prob, k, xk, uk, zk, rho, terminal=False)
+            cost_k, _, _ = al.al_cost(prob, k, xk, uk, zk, rho, terminal=False)
+            A, B = prob.dyn_expansion(k, xk, uk)
+            return A, B, lx, lu, lxx, luu, lux, cost_k
+
+        def term(prob, xN, zN, rho):
+            lxN, _ = al.al_grad(prob, N, xN, None, zN, rho, terminal=True)
+            lxxN, _, _ = al.al_hess(prob, N, xN, None, zN, rho, terminal=True)
+            costN, _, _ = al.al_cost(prob, N, xN, None, zN, rho, terminal=True)
+            return lxN, lxxN, costN
 
     # per-level in_axes for the problem pytree: batched leaves carry
     # (Bt, .., 8, 128); map Bt at the tile level and the trailing lane/
@@ -136,9 +154,15 @@ def _expansions_tiled(problem, prob_axes, x_t, u_t, z_t, z_axes, rho_t,
     zs = jax.tree.map(z_stage, z_t, z_axes)
     zN = jax.tree.map(z_term, z_t, z_axes)
 
-    A, B, lx_s, lu, lxx_s, luu, lux, cost_s = f(
-        problem, ks, x_t[:, :N], u_t, zs, rho_t
-    )
+    if diag:
+        A, B, lx_s, lu, lxx_s, luu, cost_s = f(
+            problem, ks, x_t[:, :N], u_t, zs, rho_t
+        )
+        lux = None
+    else:
+        A, B, lx_s, lu, lxx_s, luu, lux, cost_s = f(
+            problem, ks, x_t[:, :N], u_t, zs, rho_t
+        )
     lxN, lxxN, costN = g(problem, x_t[:, N], zN, rho_t)
     lx = jnp.concatenate([lx_s, lxN[:, None]], axis=1)
     lxx = jnp.concatenate([lxx_s, lxxN[:, None]], axis=1)
@@ -261,14 +285,17 @@ def make_expand_backward(opts):
                 jnp.asarray(reg, jnp.float32), (bt, 8, 128)
             )
 
+        from altro_tpu import al as _al
+
+        diag = opts.diag_expansion and _al.diag_expansion_eligible(problem)
         A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, phi0_t = _expansions_tiled(
-            problem_t, pb_prob, x_t, u_t, z_t, pb_z, rho_t, pb_rho
+            problem_t, pb_prob, x_t, u_t, z_t, pb_z, rho_t, pb_rho, diag=diag
         )
 
         def attempt(r_t):
             return riccati_backward_pallas_tiled(
                 A_t, B_t, lxx_t, luu_t, lx_t, lu_t, r_t, lux=lux_t,
-                interpret=interpret,
+                diag_cost=diag, interpret=interpret,
             )
 
         g, reg_used_t = _retry_tiled(opts, attempt, reg_t)

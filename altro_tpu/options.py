@@ -163,6 +163,16 @@ class SolverOptions:
     # full fused solve loop (under investigation) — hence opt-in.
     # The per-lane (unbatched) path is unchanged, so f64 parity holds.
     pallas_tile_resident: bool = False
+    # Diagonal expansion fast path (the reference's is_diag,
+    # tvlqr.cpp:85-89,125-128, extended to the AL Hessian): when the cost
+    # is diagonal and every constraint declares diag_hessian, the tiled
+    # Pallas boundary streams lxx/luu as diagonals ([.., n] instead of
+    # [.., n, n]) and drops the zero cross-Hessian — ~40% less operand
+    # HBM traffic into the backward kernel. Opt-in: measured a 1.14x
+    # kernel-level win at n=12 blocks but flat-to-slightly-slower at the
+    # n=4 headline (the diag AL-Hessian recomputation costs what the
+    # traffic saves there); see docs/PERF.md.
+    diag_expansion: bool = False
     throw_errors: bool = True  # host API raises on failed solve
     # Re-symmetrize the Riccati cost-to-go each step: recommended for
     # long horizons (N >~ 100) in f32, where roundoff asymmetry compounds

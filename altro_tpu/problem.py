@@ -246,6 +246,13 @@ class ConstraintSpec:
     active: jnp.ndarray  # [N+1] bool
     jac: Optional[Callable[..., jnp.ndarray]] = None
     label: str = ""
+    # Declares that this constraint's Gauss-Newton AL Hessian term
+    # J^T dP^T dP J is DIAGONAL (e.g. bound constraints: Jacobian rows
+    # are +-e_i, and the cone is linear so there is no curvature term).
+    # Enables the diagonal expansion fast path (al.al_hess_diag /
+    # SolverOptions.diag_expansion) — the reference's is_diag idea
+    # (tvlqr.cpp:85-89,125-128) extended to the AL Hessian.
+    diag_hessian: bool = False
 
     def jacobian(self, x, u, k):
         if self.jac is not None:
@@ -255,7 +262,8 @@ class ConstraintSpec:
         return jnp.concatenate([Jx, Ju], axis=1)
 
 
-_register(ConstraintSpec, ["active"], ["fn", "cone", "dim", "jac", "label"])
+_register(ConstraintSpec, ["active"],
+          ["fn", "cone", "dim", "jac", "label", "diag_hessian"])
 
 
 # ---------------------------------------------------------------------------

@@ -168,7 +168,7 @@ def child_main():
     steering = ConstraintSpec(
         fn=lambda x, u, k: jnp.stack([x[3] - delta_max, -delta_max - x[3]]),
         cone=Cone.NEGATIVE_ORTHANT, dim=2, active=jnp.ones(N + 1, bool),
-        label="steering bound",
+        label="steering bound", diag_hessian=True,  # rows are +-e3
     )
     dyn = midpoint(bicycle_continuous())
     problem = Problem(
@@ -309,6 +309,17 @@ def child_main():
             time.sleep(10.0)
     if last_exc is not None:
         raise last_exc
+
+    dump = os.environ.get("ALTRO_BENCH_DUMP")
+    if dump:
+        # per-lane-tick arrays for offline analysis (docs/PERF.md
+        # line-search failure post-mortem)
+        np.savez_compressed(
+            dump,
+            iterations=np.asarray(iters),
+            tracking_error=np.asarray(errs),
+            status=np.asarray(statuses),
+        )
 
     total_solves = B * NSIM
     solves_per_s = total_solves / elapsed
