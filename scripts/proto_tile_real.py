@@ -297,5 +297,134 @@ def main():
     )
 
 
+
+
+def while_variant():
+    """r6: the boundary inside a lax.while_loop with a solver-like carry
+    (x, u, K, d, P, p) — isolates while-boundary layout copies.
+    Usage: python scripts/proto_tile_real.py --while [B] [REPS]
+    """
+    Bsz = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+
+    platform = pick_platform()
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from altro_tpu.cones import Cone
+    from altro_tpu.io.scotty import load_scotty, synthetic_scotty
+    from altro_tpu.models.bicycle import bicycle_continuous
+    from altro_tpu.models.integrators import midpoint
+    from altro_tpu.ops import tiled_backward as tbk
+    from altro_tpu.options import SolverOptions
+    from altro_tpu.problem import ConstraintSpec, Problem, lqr_cost_from_reference
+    from altro_tpu.solver import _expansions_and_cost, backward_adaptive
+
+    interp = platform == "cpu"
+    dtype = jnp.float32
+    N, n, m = 30, 4, 2
+    try:
+        ref = load_scotty()
+    except FileNotFoundError:
+        ref = synthetic_scotty(N=500)
+    h = float(np.float32(ref.tf / ref.N))
+    cost0 = lqr_cost_from_reference(
+        jnp.asarray(np.full((N + 1, n), 1e-2), dtype),
+        jnp.asarray(np.full((N + 1, m), 1e-3), dtype),
+        jnp.asarray(ref.x[: N + 1], dtype), jnp.asarray(ref.u[: N + 1], dtype))
+    delta_max = 60 * np.pi / 180.0
+    steering = ConstraintSpec(
+        fn=lambda x, u, k: jnp.stack([x[3] - delta_max, -delta_max - x[3]]),
+        cone=Cone.NEGATIVE_ORTHANT, dim=2, active=jnp.ones(N + 1, bool),
+        label="steer", diag_hessian=True)
+    problem = Problem(N=N, n=n, m=m, dynamics=midpoint(bicycle_continuous()),
+                      dynamics_jac=None, constraints=(steering,), cost=cost0,
+                      h=jnp.full(N, h, dtype), x0=jnp.asarray(ref.x[0], dtype))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.tile(ref.x[: N + 1], (Bsz, 1, 1))
+                    + 0.02 * rng.standard_normal((Bsz, N + 1, n)), dtype)
+    u = jnp.asarray(np.tile(ref.u[:N], (Bsz, 1, 1))
+                    + 0.02 * rng.standard_normal((Bsz, N, m)), dtype)
+    z = (jnp.asarray(0.1 * rng.random((Bsz, N + 1, 2)), dtype),)
+    rho = jnp.full((Bsz,), 10.0, dtype)
+    qb = jnp.broadcast_to(cost0.q, (Bsz,) + cost0.q.shape)
+    cb = jnp.broadcast_to(cost0.c, (Bsz,) + cost0.c.shape)
+    eb = tbk.make_expand_backward(
+        SolverOptions(pallas_backward=True, pallas_tile_resident=True))
+    if interp:
+        tbk._FORCE_INTERPRET = True
+
+    def prob_lane(qi, ci):
+        return dataclasses.replace(
+            problem, cost=dataclasses.replace(problem.cost, q=qi, c=ci))
+
+    A0 = jnp.zeros((N, n, n), dtype)
+    B0 = jnp.zeros((N, n, m), dtype)
+
+    def make_loop(tiled):
+        @jax.jit
+        def run(x0_):
+            def cond(c):
+                return c[0] < REPS
+
+            def body(c):
+                i, xc, uc, K, d, P, p = c
+                if tiled:
+                    def lane(xi, ui, zi, ri, qi, ci):
+                        o = eb(prob_lane(qi, ci), xi, ui, zi, ri, A0, B0,
+                               jnp.asarray(0.0, dtype))
+                        return o.K, o.d, o.P, o.p, o.phi0, o.lx, o.lu
+                else:
+                    def lane(xi, ui, zi, ri, qi, ci):
+                        A, Bm, lx, lu, lxx, luu, lux, alc = (
+                            _expansions_and_cost(prob_lane(qi, ci), xi, ui,
+                                                 zi, ri))
+                        g, _ = backward_adaptive(
+                            SolverOptions(pallas_backward=True),
+                            A, Bm, lxx, luu, lux, lx, lu,
+                            jnp.asarray(0.0, dtype))
+                        return g.K, g.d, g.P, g.p, alc, lx, lu
+
+                K2, d2, P2, p2, phi0, lx, lu = jax.vmap(lane)(
+                    xc, uc, z, rho, qb, cb)
+                # solver-like carry update (cheap, batch-major)
+                s = jnp.sum(phi0) + jnp.sum(lx[:, 0]) + jnp.sum(lu[:, 0])
+                xc2 = xc * (1.0 + 1e-12 * p2) + 1e-15 * s
+                uc2 = uc * (1.0 + 1e-12 * d2)
+                return (i + 1, xc2, uc2, K2, d2, P2, p2)
+
+            K0 = jnp.zeros((Bsz, N, m, n), dtype)
+            d0 = jnp.zeros((Bsz, N, m), dtype)
+            P0 = jnp.zeros((Bsz, N + 1, n, n), dtype)
+            p0 = jnp.zeros((Bsz, N + 1, n), dtype)
+            out = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0, jnp.int32), x0_, u, K0, d0, P0, p0))
+            return out[1], out[5]
+
+        return run
+
+    def timeit(fn, arg):
+        jax.block_until_ready(fn(arg))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(arg))
+        return (time.perf_counter() - t0) / REPS * 1e3
+
+    t_old = timeit(make_loop(False), x)
+    t_tiled = timeit(make_loop(True), x)
+    print(json.dumps({
+        "B": Bsz, "platform": platform,
+        "r6_while_old_ms": round(t_old, 4),
+        "r6_while_tiled_ms": round(t_tiled, 4),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--while" in sys.argv:
+        while_variant()
+    else:
+        main()

@@ -28,33 +28,48 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_altro_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def pytest_runtest_logstart(nodeid, location):
-    """Guard against vm.max_map_count exhaustion (default 65530).
+_last_module = [None]
 
-    Every XLA-CPU executable JIT-maps ~100 anonymous segment triples per
-    device (measured: one jitted `solve` ~900 maps with 8 virtual
-    devices), and jax holds every compiled executable for the process
-    lifetime — a full-suite run climbs past the 65530 map limit and the
-    NEXT LLVM JIT mmap fails, segfaulting the interpreter (observed
-    repeatedly at ~65.2k maps in tests/test_pendulum.py, both in
+
+def pytest_runtest_logstart(nodeid, location):
+    """Bound vm map usage (vm.max_map_count default 65530).
+
+    Every XLA-CPU executable JIT-maps ~hundreds of anonymous segment
+    triples (measured: one jitted `solve` ~600 maps, device count nearly
+    irrelevant), and jax holds every compiled executable for the process
+    lifetime — an unbounded full-suite run climbs past the 65530 map
+    limit and the NEXT LLVM JIT mmap fails, segfaulting the interpreter
+    (observed repeatedly at ~65.2k maps, both in
     backend_compile_and_load and in the persistent-cache executable-
     deserialization path, while the same tests pass in isolation).
-    Dropping the executable caches un-maps everything
-    (jax.clear_caches + gc: 6058 -> 530 maps, measured), at the cost of
-    recompiles after each trip, so trip rarely (<2x per suite run).
 
-    ALTRO_TRACE_MAPS=1 additionally logs the per-test map count.
+    Two mechanisms keep usage structurally bounded:
+      * proactive hygiene: at each test-MODULE boundary with >25k maps,
+        drop the executable caches (jax.clear_caches + gc: 6058 -> 530
+        maps, measured). Executables are rarely shared across modules,
+        so this costs almost nothing and keeps the count far from the
+        limit;
+      * emergency guard at 40k maps mid-module (should never fire with
+        the module-boundary hygiene in place).
+
+    ALTRO_TRACE_MAPS=1 additionally logs the per-test map count (plus a
+    CLEAR marker at each cache drop).
     """
     import gc
     import os
 
     with open("/proc/self/maps") as f:
         n = sum(1 for _ in f)
-    if n > 40000:
+    module = nodeid.split("::", 1)[0]
+    module_boundary = module != _last_module[0]
+    _last_module[0] = module
+    cleared = ""
+    if (module_boundary and n > 25000) or n > 40000:
         import jax
 
         jax.clear_caches()
         gc.collect()
+        cleared = "\tCLEAR-module" if module_boundary else "\tCLEAR-EMERGENCY"
     if os.environ.get("ALTRO_TRACE_MAPS") == "1":
         with open("/tmp/altro_maps.log", "a") as f:
-            f.write(f"{n}\t{nodeid}\n")
+            f.write(f"{n}\t{nodeid}{cleared}\n")

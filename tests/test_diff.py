@@ -76,10 +76,11 @@ def test_unconstrained_lqr_grad_wrt_q_and_x0(method):
     q0 = pb0.cost.q[0]
     x00 = pb0.x0
 
-    g_q, g_x0 = jax.grad(loss_from, argnums=(0, 1))(q0, x00)
+    loss_jit = jax.jit(loss_from)  # cache the solve across the fd sweep
+    g_q, g_x0 = jax.jit(jax.grad(loss_from, argnums=(0, 1)))(q0, x00)
 
-    fd_q = _fd_grad(lambda qv: float(loss_from(jnp.asarray(qv), x00)), np.asarray(q0))
-    fd_x0 = _fd_grad(lambda xv: float(loss_from(q0, jnp.asarray(xv))), np.asarray(x00))
+    fd_q = _fd_grad(lambda qv: float(loss_jit(jnp.asarray(qv), x00)), np.asarray(q0))
+    fd_x0 = _fd_grad(lambda xv: float(loss_jit(q0, jnp.asarray(xv))), np.asarray(x00))
 
     np.testing.assert_allclose(np.asarray(g_q), fd_q, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(g_x0), fd_x0, rtol=1e-6, atol=1e-8)
@@ -135,13 +136,17 @@ def test_nonlinear_dynamics_grad_cg_exact_tvlqr_close():
     _, stats0 = solve(rebuilt(Qd0), init_state(rebuilt(Qd0)), opts)
     assert abs(float(stats0.dphi)) < 1e-7
 
-    g_cg = jax.grad(lambda Qd: loss_from(Qd, "cg"))(Qd0)
-    g_gn = jax.grad(lambda Qd: loss_from(Qd, "tvlqr"))(Qd0)
+    g_cg = jax.jit(jax.grad(lambda Qd: loss_from(Qd, "cg")))(Qd0)
+    g_gn = jax.jit(jax.grad(lambda Qd: loss_from(Qd, "tvlqr")))(Qd0)
+
+    @jax.jit
+    def _fd_loss(Qv):
+        pb = rebuilt(Qv)
+        st, _ = solve(pb, init_state(pb), opts)
+        return _loss_of_solution(st.x, st.u)
 
     def fd_loss(Qv):
-        pb = rebuilt(jnp.asarray(Qv))
-        st, _ = solve(pb, init_state(pb), opts)
-        return float(_loss_of_solution(st.x, st.u))
+        return float(_fd_loss(jnp.asarray(Qv)))
 
     fd = _fd_grad(fd_loss, np.asarray(Qd0), eps=1e-6)
     np.testing.assert_allclose(np.asarray(g_cg), fd, rtol=1e-3)
@@ -182,12 +187,16 @@ def test_constrained_grad_matches_fd_to_al_accuracy():
     xs, us = implicit_solve(build(q0), opts=opts)
     assert float(jnp.max(jnp.abs(us))) > u_bnd - 1e-6
 
-    g = jax.grad(loss_from)(q0)
+    g = jax.jit(jax.grad(loss_from))(q0)
+
+    @jax.jit
+    def _fd_loss(qv):
+        pb = build(qv)
+        st, _ = solve(pb, init_state(pb), opts)
+        return _loss_of_solution(st.x, st.u)
 
     def fd_loss(qv):
-        pb = build(jnp.asarray(qv))
-        st, _ = solve(pb, init_state(pb), opts)
-        return float(_loss_of_solution(st.x, st.u))
+        return float(_fd_loss(jnp.asarray(qv)))
 
     fd = _fd_grad(fd_loss, np.asarray(q0), eps=1e-5)
     np.testing.assert_allclose(np.asarray(g), fd, rtol=1e-3, atol=1e-6)
@@ -209,5 +218,5 @@ def test_vmap_and_jit_compose():
     x0s = jnp.stack([_di_problem().x0, _di_problem().x0 + 0.1])
     grads = jax.jit(jax.vmap(jax.grad(loss)))(x0s)
     assert grads.shape == (2, 4)
-    g_single = jax.grad(loss)(x0s[0])
+    g_single = jax.jit(jax.grad(loss))(x0s[0])
     np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(g_single), rtol=1e-10)

@@ -115,13 +115,15 @@ class TestStagedAL:
 
     def inner_round(self, problem, x, u, z, rho, iters=6):
         ls_opts = LineSearchOptions(c1=1e-4, c2=0.1, try_cubic_first=True)
-        m = None
-        for _ in range(iters):
+
+        @jax.jit
+        def step(x, u, z, rho):
+            """One full inner iteration, jitted (compiled once, reused
+            across all iterations and AL rounds)."""
             A, B, lx, lu, lxx, luu, lux = al_expansions(problem, x, u, z, rho)
             gains = tvlqr_backward(
                 A, B, jnp.zeros_like(lx[:-1]), lxx, luu, lux, lx, lu
             )
-            assert bool(gains.ok)
 
             def merit_full(alpha):
                 out = merit_function(
@@ -131,8 +133,6 @@ class TestStagedAL:
                 return out.phi, out.dphi
 
             phi0, dphi0 = merit_full(0.0)
-            if abs(float(dphi0)) < 1e-8:
-                break
             res = wolfe_line_search(
                 merit_full, lambda a: merit_full(a)[0], phi0, dphi0, 1.0, ls_opts
             )
@@ -140,6 +140,15 @@ class TestStagedAL:
                 problem, x, u, gains.K, gains.d, gains.P, gains.p, z, rho,
                 res.alpha, problem.x0, True,
             )
+            return gains.ok, dphi0, m
+
+        m = None
+        for _ in range(iters):
+            ok, dphi0, m_new = step(x, u, z, rho)
+            assert bool(ok)
+            if abs(float(dphi0)) < 1e-8:
+                break  # converged: the trial step is discarded, as before
+            m = m_new
             x, u = m.x, m.u
         return x, u, m
 

@@ -78,40 +78,42 @@ BASE = dict(
 )
 
 
-def test_tiled_boundary_matches_plain_path(problem):
+@pytest.fixture(scope="module")
+def solved(problem):
+    """Solve the batch once per variant (plain / tiled / tiled+diag)."""
     problem, ref = problem
     tbk._FORCE_INTERPRET = True
     try:
-        s_ref, st_ref = _batched_solve(problem, ref, SolverOptions(**BASE))
-        s_t, st_t = _batched_solve(
-            problem, ref,
-            SolverOptions(**BASE, pallas_backward=True,
-                          pallas_tile_resident=True),
-        )
+        out = {
+            "plain": _batched_solve(problem, ref, SolverOptions(**BASE)),
+            "tiled": _batched_solve(
+                problem, ref,
+                SolverOptions(**BASE, pallas_backward=True,
+                              pallas_tile_resident=True),
+            ),
+            "diag": _batched_solve(
+                problem, ref,
+                SolverOptions(**BASE, pallas_backward=True,
+                              pallas_tile_resident=True, diag_expansion=True),
+            ),
+        }
     finally:
         tbk._FORCE_INTERPRET = False
+    return out
+
+
+def test_tiled_boundary_matches_plain_path(solved):
+    s_ref, st_ref = solved["plain"]
+    s_t, st_t = solved["tiled"]
     assert bool(jnp.all(st_ref.iterations == st_t.iterations))
     assert bool(jnp.all(st_ref.status == st_t.status))
     np.testing.assert_allclose(np.asarray(s_ref.u), np.asarray(s_t.u), atol=2e-5)
     np.testing.assert_allclose(np.asarray(s_ref.x), np.asarray(s_t.x), atol=2e-5)
 
 
-def test_tiled_diag_expansion_matches_dense(problem):
-    problem, ref = problem
-    tbk._FORCE_INTERPRET = True
-    try:
-        s_d, st_d = _batched_solve(
-            problem, ref,
-            SolverOptions(**BASE, pallas_backward=True,
-                          pallas_tile_resident=True, diag_expansion=True),
-        )
-        s_t, st_t = _batched_solve(
-            problem, ref,
-            SolverOptions(**BASE, pallas_backward=True,
-                          pallas_tile_resident=True),
-        )
-    finally:
-        tbk._FORCE_INTERPRET = False
+def test_tiled_diag_expansion_matches_dense(solved):
+    s_d, st_d = solved["diag"]
+    s_t, st_t = solved["tiled"]
     assert bool(jnp.all(st_d.iterations == st_t.iterations))
     np.testing.assert_allclose(np.asarray(s_d.u), np.asarray(s_t.u), atol=2e-5)
 
