@@ -65,6 +65,45 @@ def main(path):
     it_fail = iters[fail].mean() if fail.any() else float("nan")
     it_ok = iters[~fail].mean()
 
+    # Tick clustering: are failures localized to specific path events
+    # (stiff reference segments) rather than spread lane-randomly?
+    per_tick = fail.mean(axis=1)
+    worst = np.argsort(per_tick)[::-1][:10]
+    tick_cluster = {
+        "ticks_with_any_failure": int((per_tick > 0).sum()),
+        "ticks_above_5pct": int((per_tick > 0.05).sum()),
+        "worst_ticks": {int(t): round(float(per_tick[t]), 4) for t in worst},
+        "frac_failures_in_worst10": round(
+            float(per_tick[worst].sum() / per_tick.sum()), 4
+        ) if per_tick.sum() else 0.0,
+    }
+
+    # Cross-implementation adjudication against the reference's own
+    # scotty_mpc artifact (/root/reference/test/scotty_mpc.json,
+    # bicycle_test.cpp:344-359): per-tick solve_iters show where the
+    # reference solver itself struggles, and per-tick tracking error
+    # shows whether our failing ticks change the closed loop at all.
+    ref_path = "/root/reference/test/scotty_mpc.json"
+    try:
+        ref = json.load(open(ref_path))
+        rit = np.asarray(ref["solve_iters"], dtype=float)[:nsim]
+        rerr = np.asarray(ref["tracking_error"], dtype=float)[:nsim]
+        our_err_tick = errs.mean(axis=1)
+        tick_cluster.update(
+            {
+                "ref_max_iter_tick": int(np.argmax(rit)),
+                "ref_ticks_ge6_iters": int((rit >= 6).sum()),
+                "per_tick_err_corr_vs_ref": round(
+                    float(np.corrcoef(our_err_tick, rerr)[0, 1]), 5
+                ),
+                "mean_abs_err_diff_vs_ref": round(
+                    float(np.abs(our_err_tick - rerr).mean()), 5
+                ),
+            }
+        )
+    except (OSError, KeyError):
+        pass
+
     out = {
         "ticks": int(nsim),
         "lanes": int(B),
@@ -80,6 +119,7 @@ def main(path):
         "failure_run_length_max": max_run,
         "mean_iters_failing": round(float(it_fail), 3),
         "mean_iters_succeeding": round(float(it_ok), 3),
+        **tick_cluster,
     }
     print(json.dumps(out))
 
