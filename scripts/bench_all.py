@@ -287,10 +287,13 @@ def main():
     results.append(row)
     print(json.dumps(row), flush=True)
 
-    # 6. Headline batched MPC — delegate to bench.py (same process)
+    # 6. Headline batched MPC — delegate to bench.py's measurement body
+    # (child_main, same process: reuses this process's device client and
+    # the persistent compile cache; the two-process retry ladder lives in
+    # bench.parent_main and is only needed for unattended driver capture)
     import bench
 
-    bench.main()
+    bench.child_main()
 
 
 if __name__ == "__main__":
