@@ -1,0 +1,73 @@
+"""Embedded packaging story for the native engine (reference analog:
+install/AltroArduinoInstall.cmake + resources/arduino_package_template/).
+
+The DESIGN.md claim is that the dependency-free C++17 sources build on
+any toolchain with host-tuning flags stripped. These tests execute that
+claim on the toolchains available in CI:
+
+* a bare ``g++ -std=c++17`` static-library build with NO arch flags and
+  ``-fno-exceptions -fno-rtti`` (the portable-toolchain proxy — the same
+  override knob, ``ARCHFLAGS=``, is what ``CXX=arm-none-eabi-g++`` uses);
+* the host demo built from the dist tarball in a scratch directory, run
+  end-to-end (the reference's teensy.ino analog actually solves).
+"""
+
+import pathlib
+import shutil
+import subprocess
+import tarfile
+
+import pytest
+
+NATIVE = pathlib.Path(__file__).resolve().parent.parent / "native"
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+
+
+def _make(args, cwd=NATIVE):
+    return subprocess.run(
+        ["make", *args], cwd=cwd, capture_output=True, text=True, timeout=300
+    )
+
+
+def test_static_lib_builds_without_arch_flags(tmp_path):
+    """`make ARCHFLAGS= EXTRAFLAGS='-fno-exceptions -fno-rtti'` must work —
+    this is exactly what a cross toolchain invocation relies on."""
+    r = _make(
+        [
+            "ARCHFLAGS=",
+            "EXTRAFLAGS=-fno-exceptions -fno-rtti",
+            "build/libaltro_native.a",
+        ]
+    )
+    assert r.returncode == 0, r.stderr
+    assert (NATIVE / "build" / "libaltro_native.a").exists()
+
+
+def test_dist_tarball_builds_and_demo_runs(tmp_path):
+    r = _make(["dist"])
+    assert r.returncode == 0, r.stderr
+    tarball = NATIVE / "build" / "altro-native-src.tar.gz"
+    assert tarball.exists()
+
+    with tarfile.open(tarball) as tf:
+        names = set(tf.getnames())
+        tf.extractall(tmp_path)
+    for required in (
+        "altro_native.cpp",
+        "altro_solver_native.cpp",
+        "example_main.cpp",
+        "Makefile",
+        "README.md",
+    ):
+        assert required in names
+
+    # Build the demo from the unpacked tree with no host tuning at all.
+    r = _make(["ARCHFLAGS=", "build/demo"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    run = subprocess.run(
+        [str(tmp_path / "build" / "demo")], capture_output=True, text=True, timeout=120
+    )
+    assert run.returncode == 0, run.stderr
+    # The demo prints the TVLQR solve timing + terminal state.
+    assert "us/solve" in run.stdout and "xN" in run.stdout, run.stdout
