@@ -15,17 +15,48 @@ import os
 
 os.environ.setdefault("ALTRO_SCAN_UNROLL", "1")  # fast compiles; perf-neutral for correctness
 
+# ALTRO_TPU_TESTS=1 switches the session to the on-device subset: only
+# @pytest.mark.tpu tests run (everything else is skipped), on the real
+# TPU backend in f32 — the one-command on-hardware regression check
+# (kernel parity, tiled boundary, closed-loop tick, hetero-dims solve)
+# independent of the bench. Usage on a TPU host:
+#   ALTRO_TPU_TESTS=1 python -m pytest tests/ -q -n 0
+TPU_MODE = os.environ.get("ALTRO_TPU_TESTS") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-# Persistent compile cache: repeat suite runs skip XLA compilation.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_altro_tests")
+if TPU_MODE:
+    # real device, f32 (the kernels' native dtype); separate compile cache
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_altro_tpu_tests")
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    # Persistent compile cache: repeat suite runs skip XLA compilation.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_altro_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if TPU_MODE:
+        skip = pytest.mark.skip(
+            reason="ALTRO_TPU_TESTS=1 runs only the @pytest.mark.tpu subset"
+        )
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = pytest.mark.skip(
+            reason="on-device test; run ALTRO_TPU_TESTS=1 pytest -n 0 on a TPU host"
+        )
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
 
 
 _last_module = [None]
