@@ -168,6 +168,116 @@ def main():
         extra = {"note": "fixed-20-iteration long-horizon throughput"} if N > 100 else None
         run(name, problem, state, opts_i, extra)
 
+    # 4b. Small-batch warm-resolve latency through the AOT export path
+    # (VERDICT r2 item 3: the reference's defining deployment is a ~1 kHz
+    # single-controller warm-started loop, bicycle_test.cpp:302-342; the
+    # batched story is proven, this row proves/bounds the B=1 story).
+    # Three numbers per batch size:
+    #   p50_call_ms      — full host-blocking round trip per resolve via
+    #                      the serialized jax.export artifact (no tracing)
+    #   chained_call_ms  — amortized per-resolve time of a 100-deep chain
+    #                      of resolves enqueued back-to-back (state feeds
+    #                      the next call), i.e. the device-side controller
+    #                      -loop rate without per-call host sync
+    #   dispatch_floor_ms— host-blocking round trip of a trivial jitted
+    #                      add on the same state pytree: the transport
+    #                      floor that bounds p50_call_ms from below.
+    if os.environ.get("ALTRO_BENCH_LATENCY", "1") == "1":
+        import time as _t
+
+        from altro_tpu.export import (
+            export_mpc_server,
+            make_serving_fn,
+            state_to_arrays,
+        )
+        from altro_tpu.mpc import shift_trajectory as _shift
+
+        Nl = 30
+        steering = ConstraintSpec(
+            fn=lambda x, u, k: jnp.stack([x[3] - delta_max, -delta_max - x[3]]),
+            cone=Cone.NEGATIVE_ORTHANT, dim=2, active=jnp.ones(Nl + 1, bool),
+            label="steering", diag_hessian=True,
+        )
+        lat_problem = Problem(
+            N=Nl, n=4, m=2, dynamics=midpoint(bicycle_continuous()),
+            dynamics_jac=None, constraints=(steering,),
+            cost=lqr_cost_from_reference(
+                jnp.full((Nl + 1, 4), 1e-2, dtype),
+                jnp.full((Nl + 1, 2), 1e-3, dtype),
+                jnp.asarray(ref.x[: Nl + 1], dtype),
+                jnp.asarray(ref.u[: Nl + 1], dtype),
+            ),
+            h=jnp.full(Nl, h, dtype), x0=jnp.asarray(ref.x[0], dtype),
+        )
+        lat_opts = dataclasses.replace(
+            f32opts, iterations_max=10, use_backtracking_linesearch=True,
+            penalty_warm_start=True, parallel_linesearch=True,
+            ls_phase_split=True, ls_armijo_only=True, ls_grid_x_only=True,
+            ls_max_iters=8,
+        )
+        for Bl in (None, 8):
+            tag = "B1" if Bl is None else f"B{Bl}"
+            art = export_mpc_server(lat_problem, lat_opts, batch=Bl,
+                                    platforms=(platform,))
+            serving = jax.jit(art.call)
+            # warm-started inputs: a converged state after a few prior ticks
+            st = init_state(lat_problem)
+            st = dataclasses.replace(
+                st,
+                u=jnp.tile(jnp.asarray([ref.u[0][0], 0.0], dtype), (Nl, 1)),
+                x=jnp.asarray(ref.x[: Nl + 1], dtype),
+            )
+            st_arrays = state_to_arrays(st)
+            xm = jnp.asarray(ref.x[1], dtype)
+            xr = jnp.asarray(ref.x[1 : Nl + 2], dtype)
+            ur = jnp.asarray(ref.u[1 : Nl + 2], dtype)
+            if Bl is not None:
+                tile = lambda a: jnp.broadcast_to(a, (Bl,) + a.shape)
+                st_arrays = {k: tile(v) for k, v in st_arrays.items()}
+                xm, xr, ur = tile(xm), tile(xr), tile(ur)
+            # converge the warm start (2 prior resolves)
+            for _ in range(2):
+                _, st_arrays, _ = jax.block_until_ready(
+                    serving(xm, xr, ur, st_arrays))
+            # blocking per-call p50/p90
+            times = []
+            for _ in range(60):
+                t0 = _t.perf_counter()
+                u0, st2, lstats = jax.block_until_ready(
+                    serving(xm, xr, ur, st_arrays))
+                times.append((_t.perf_counter() - t0) * 1e3)
+            times = np.sort(np.asarray(times))
+            # chained (device-side loop): state feeds the next resolve,
+            # one host sync at the end
+            CH = 100
+            t0 = _t.perf_counter()
+            st_c = st_arrays
+            for _ in range(CH):
+                u0, st_c, lstats = serving(xm, xr, ur, st_c)
+            jax.block_until_ready((u0, st_c))
+            chained_ms = (_t.perf_counter() - t0) / CH * 1e3
+            # transport floor: trivial jitted add over the same pytree
+            floor_fn = jax.jit(
+                lambda a, s: (a + 1.0, {k: v + 1.0 for k, v in s.items()}))
+            jax.block_until_ready(floor_fn(xm, st_arrays))
+            ftimes = []
+            for _ in range(60):
+                t0 = _t.perf_counter()
+                jax.block_until_ready(floor_fn(xm, st_arrays))
+                ftimes.append((_t.perf_counter() - t0) * 1e3)
+            ftimes = np.sort(np.asarray(ftimes))
+            row = {
+                "config": f"mpc_latency_aot_{tag}",
+                "platform": platform,
+                "p50_call_ms": round(float(times[len(times) // 2]), 3),
+                "p90_call_ms": round(float(times[int(len(times) * 0.9)]), 3),
+                "chained_call_ms": round(chained_ms, 3),
+                "dispatch_floor_p50_ms": round(float(ftimes[len(ftimes) // 2]), 3),
+                "iterations": int(np.max(np.asarray(lstats["iterations"]))),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
     # 5. Batched quadrotor waypoint resolves (n=12, m=4: bigger blocks)
     from altro_tpu.models.quadrotor import quadrotor_continuous
     from altro_tpu.models.integrators import rk4
