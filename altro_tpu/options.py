@@ -165,14 +165,17 @@ class SolverOptions:
     pallas_tile_resident: bool = False
     # Diagonal expansion fast path (the reference's is_diag,
     # tvlqr.cpp:85-89,125-128, extended to the AL Hessian): when the cost
-    # is diagonal and every constraint declares diag_hessian, the tiled
-    # Pallas boundary streams lxx/luu as diagonals ([.., n] instead of
-    # [.., n, n]) and drops the zero cross-Hessian — ~40% less operand
-    # HBM traffic into the backward kernel. Opt-in: measured a 1.14x
-    # kernel-level win at n=12 blocks but flat-to-slightly-slower at the
-    # n=4 headline (the diag AL-Hessian recomputation costs what the
-    # traffic saves there); see docs/PERF.md.
-    diag_expansion: bool = False
+    # is diagonal and every constraint declares diag_hessian
+    # (al.diag_expansion_eligible), store the AL Hessian as [.., n]
+    # diagonals instead of dense [.., n, n] stacks — never materializing
+    # the dense Hessians — and run the diagonal Riccati step. DEFAULT ON
+    # (round 3); applies on the default scan path and the tile-resident
+    # paths. The batch-major fused kernel (pallas_backward without
+    # tile-residency) and the parallel Riccati keep dense operands (their
+    # ABIs are dense) and silently ignore this flag. Ineligible problems
+    # are unaffected. Measurements (docs/PERF.md): ~flat at the n=4
+    # headline (tiled kernel), 1.14x kernel-level at n=12 blocks.
+    diag_expansion: bool = True
     throw_errors: bool = True  # host API raises on failed solve
     # Re-symmetrize the Riccati cost-to-go each step: recommended for
     # long horizons (N >~ 100) in f32, where roundoff asymmetry compounds

@@ -458,6 +458,32 @@ def _cost_expansions_and_cost(problem: Problem, x, u, z, rho):
     return lx, lu, lxx, luu, lux, jnp.sum(cost_st) + cost_N
 
 
+def _cost_expansions_and_cost_diag(problem: Problem, x, u, z, rho):
+    """Diagonal-storage variant of `_cost_expansions_and_cost` (the
+    reference's is_diag fast path, tvlqr.cpp:85-89,125-128, extended to
+    the AL Hessian). Valid only when `al.diag_expansion_eligible`; returns
+    (lx, lu, lxx_diag [N+1, n], luu_diag [N, m], None, al_cost_total) —
+    the dense [.., n, n] Hessian stacks are never materialized."""
+    N = problem.N
+    ks = jnp.arange(N, dtype=jnp.int32)
+    z_stage = tuple(zj[:N] for zj in z)
+    z_term = tuple(zj[N] for zj in z)
+
+    def stage(k, x_k, u_k, z_k):
+        lx, lu = al.al_grad(problem, k, x_k, u_k, z_k, rho, terminal=False)
+        lxxd, luud = al.al_hess_diag(problem, k, x_k, u_k, z_k, rho, terminal=False)
+        cost_k, _, _ = al.al_cost(problem, k, x_k, u_k, z_k, rho, terminal=False)
+        return lx, lu, lxxd, luud, cost_k
+
+    lx_st, lu, lxxd_st, luud, cost_st = jax.vmap(stage)(ks, x[:N], u, z_stage)
+    lx_N, _ = al.al_grad(problem, N, x[N], None, z_term, rho, terminal=True)
+    lxxd_N, _ = al.al_hess_diag(problem, N, x[N], None, z_term, rho, terminal=True)
+    cost_N, _, _ = al.al_cost(problem, N, x[N], None, z_term, rho, terminal=True)
+    lx = jnp.concatenate([lx_st, lx_N[None]], axis=0)
+    lxxd = jnp.concatenate([lxxd_st, lxxd_N[None]], axis=0)
+    return lx, lu, lxxd, luud, None, jnp.sum(cost_st) + cost_N
+
+
 def dynamics_expansions(problem: Problem, x, u):
     """(A, B) stacks at a trajectory (CalcDynamicsExpansion, vmapped)."""
     ks = jnp.arange(problem.N, dtype=jnp.int32)
@@ -688,6 +714,19 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
 
         expand_backward = make_expand_backward(opts)
 
+    # Diagonal expansion storage on the DEFAULT (scan) path: when the AL
+    # Hessian is provably diagonal, store [N+1, n] diagonals and run the
+    # diag Riccati step — the reference's is_diag fast path
+    # (tvlqr.cpp:85-89,125-128). The batch-major fused kernel
+    # (pallas_backward) and the parallel Riccati keep dense operands
+    # (their ABIs are dense); the tiled paths handle diag themselves.
+    diag_mode = (
+        opts.diag_expansion
+        and al.diag_expansion_eligible(problem)
+        and not opts.pallas_backward
+        and not opts.parallel_riccati
+    )
+
     # Prologue (solver.cpp:418-434): reset penalty, rollout, make reference
     rho0 = jnp.asarray(opts.penalty_initial, dtype)
     if opts.penalty_warm_start:
@@ -752,9 +791,11 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                                eb.fail_index)
             reg_used, phi0, lx, lu = eb.reg_used, eb.phi0, eb.lx, eb.lu
         else:
-            lx, lu, lxx, luu, lux, phi0 = _cost_expansions_and_cost(
-                problem, c.x, c.u, c.z, c.rho
+            expand = (
+                _cost_expansions_and_cost_diag if diag_mode
+                else _cost_expansions_and_cost
             )
+            lx, lu, lxx, luu, lux, phi0 = expand(problem, c.x, c.u, c.z, c.rho)
             gains, reg_used = backward_adaptive(
                 opts, A, B, lxx, luu, lux, lx, lu, c.reg
             )

@@ -74,13 +74,20 @@ def tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg=0.0,
     cost ~40% throughput on TPU at reference scale — so it is opt-in
     (SolverOptions.symmetrize_ctg).
 
+    Diagonal-cost fast path (the reference's `is_diag`,
+    tvlqr.cpp:85-89,125-128): pass lxx as [N+1, n] and luu as [N, m]
+    diagonals with lux=None — the dense [.., n, n] Hessian stacks are
+    never materialized and the cross term is dropped. Selected by shape
+    at trace time; results identical to the dense call.
+
     Args:
       A: [N, n, n] dynamics state Jacobians.
       B: [N, n, m] dynamics input Jacobians.
       f: [N, n] affine terms of the dynamics expansion (zero for a
          defect-free iLQR expansion; the affine dynamics term for TVLQR).
-      lxx: [N+1, n, n] cost Hessian wrt state (row N = terminal).
-      luu: [N, m, m], lux: [N, m, n]: input / cross cost Hessians.
+      lxx: [N+1, n, n] cost Hessian wrt state (row N = terminal), or
+         [N+1, n] diagonals (diag fast path).
+      luu: [N, m, m] (or [N, m] diagonals), lux: [N, m, n] or None.
       lx: [N+1, n], lu: [N, m]: cost gradients.
       reg: scalar added to the Quu diagonal before factorization.
 
@@ -99,9 +106,15 @@ def tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg=0.0,
     m = B.shape[2]
     dtype = A.dtype
     reg = jnp.asarray(reg, dtype)
+    diag_cost = lxx.ndim == 2  # [N+1, n] diagonals instead of [N+1, n, n]
+    if diag_cost and lux is not None:
+        raise ValueError("diagonal-cost fast path has no cross Hessian; pass lux=None")
 
-    P_term = lxx[N]
+    P_term = jnp.diag(lxx[N]) if diag_cost else lxx[N]
     p_term = lx[N]
+    if lux is None:
+        # diag path: placeholder stream (unused); dense path: zero cross
+        lux = jnp.zeros((N, 0) if diag_cost else (N, m, n), dtype)
 
     def step(carry, inputs):
         P_next, p_next = carry
@@ -109,9 +122,15 @@ def tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg=0.0,
 
         AtP = mtm(A_k, P_next)
         BtP = mtm(B_k, P_next)
-        Qxx = lxx_k + mm(AtP, A_k)
-        Quu = luu_k + mm(BtP, B_k)
-        Qux = lux_k + mm(BtP, A_k)
+        if diag_cost:
+            eye_n = jnp.eye(n, dtype=dtype)
+            Qxx = lxx_k * eye_n + mm(AtP, A_k)
+            Quu = luu_k * jnp.eye(m, dtype=dtype) + mm(BtP, B_k)
+            Qux = mm(BtP, A_k)
+        else:
+            Qxx = lxx_k + mm(AtP, A_k)
+            Quu = luu_k + mm(BtP, B_k)
+            Qux = lux_k + mm(BtP, A_k)
         t = mv(P_next, f_k) + p_next
         Qx = lx_k + mtv(A_k, t)
         Qu = lu_k + mtv(B_k, t)

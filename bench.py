@@ -260,25 +260,90 @@ def child_main():
 
     xw_dev = jnp.asarray(xw, dtype)
 
-    def tick(carry, t):
-        from altro_tpu.mpc import shift_trajectory
+    # Tile-resident closed loop (the round-3 lever, docs/PERF.md): the
+    # solver state lives in lane-tile layout for the WHOLE 200-tick scan —
+    # solve_tiled keeps every per-iteration consumer on that layout, so
+    # the batch-major <-> lane-tile operand relayout that dominated the
+    # round-1/2 profile is paid exactly once (at t=0). The sliding cost
+    # windows stay UNBATCHED (shared across lanes) instead of being
+    # broadcast to [B, ...] as the vmapped path requires.
+    from altro_tpu import tile_solver as tsv
 
-        x_true, states = carry
-        q_t = jnp.broadcast_to(qs[t], (B,) + qs[t].shape)
-        c_t = jnp.broadcast_to(cs[t], (B,) + cs[t].shape)
-        states, stats = jax.vmap(resolve_one)(x_true, q_t, c_t, states)
-        u0 = states.u[:, 0]
-        x_true = jax.vmap(lambda x, u: dyn(x, u, jnp.asarray(h, dtype), 0))(x_true, u0)
-        states = jax.vmap(shift_trajectory)(states)
-        err = jnp.linalg.norm(x_true - xw_dev[t + 1, 0][None, :], axis=1)
-        return (x_true, states), (stats.iterations, err, stats.status)
+    use_tiled = (
+        use_pallas
+        and os.environ.get("ALTRO_BENCH_TILED", "1") == "1"
+        and B % 1024 == 0
+        and tsv.supported_options(opts)
+    )
 
-    @jax.jit
-    def run(x_true, states):
-        (x_true, states), (iters, errs, statuses) = jax.lax.scan(
-            tick, (x_true, states), jnp.arange(NSIM)
+    if use_tiled:
+        from altro_tpu.ops.tile_iter import tile_vmap
+
+        prob_axes = dataclasses.replace(
+            problem,
+            cost=dataclasses.replace(
+                problem.cost, Q=False, R=False, q=False, r=False, c=False
+            ),
+            h=False, x0=True, A=False, B=False, f_aff=False,
+            constraints=tuple(
+                dataclasses.replace(s_, active=False)
+                for s_ in problem.constraints
+            ),
         )
-        return x_true, states, iters, errs, statuses
+        dyn_tiled = tile_vmap(
+            lambda xk, uk: dyn(xk, uk, jnp.asarray(h, dtype), 0), (True, True)
+        )
+        xw0_t = jnp.asarray(xw[:, 0], dtype)  # [NSIM+1, n]
+
+        def tick_tiled(carry, t):
+            x_true_t, st_t = carry
+            prob_t = dataclasses.replace(
+                problem,
+                cost=dataclasses.replace(problem.cost, q=qs[t], c=cs[t]),
+                x0=x_true_t,
+            )
+            st_t, stats = tsv.solve_tiled(prob_t, prob_axes, st_t, opts)
+            u0 = st_t.u[:, 0]
+            x_true_t = dyn_tiled(x_true_t, u0)
+            st_t = tsv.shift_trajectory_tiled(st_t)
+            diff = x_true_t - xw0_t[t + 1][None, :, None, None]
+            err = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+            return (x_true_t, st_t), (stats.iterations, err, stats.status)
+
+        @jax.jit
+        def run(x_true, states):
+            x_true_t = tsv.batch_to_tiles(x_true)
+            st_t = tsv.state_to_tiles(states)
+            (x_true_t, st_t), (iters, errs, statuses) = jax.lax.scan(
+                tick_tiled, (x_true_t, st_t), jnp.arange(NSIM)
+            )
+            return (
+                tsv.tiles_to_batch(x_true_t),
+                tsv.state_from_tiles(st_t),
+                iters, errs, statuses,
+            )
+
+    else:
+
+        def tick(carry, t):
+            from altro_tpu.mpc import shift_trajectory
+
+            x_true, states = carry
+            q_t = jnp.broadcast_to(qs[t], (B,) + qs[t].shape)
+            c_t = jnp.broadcast_to(cs[t], (B,) + cs[t].shape)
+            states, stats = jax.vmap(resolve_one)(x_true, q_t, c_t, states)
+            u0 = states.u[:, 0]
+            x_true = jax.vmap(lambda x, u: dyn(x, u, jnp.asarray(h, dtype), 0))(x_true, u0)
+            states = jax.vmap(shift_trajectory)(states)
+            err = jnp.linalg.norm(x_true - xw_dev[t + 1, 0][None, :], axis=1)
+            return (x_true, states), (stats.iterations, err, stats.status)
+
+        @jax.jit
+        def run(x_true, states):
+            (x_true, states), (iters, errs, statuses) = jax.lax.scan(
+                tick, (x_true, states), jnp.arange(NSIM)
+            )
+            return x_true, states, iters, errs, statuses
 
     # Live-device kernel parity preflight (only meaningful when the fused
     # Pallas backward is actually in the measured path).
@@ -316,9 +381,10 @@ def child_main():
         # line-search failure post-mortem)
         np.savez_compressed(
             dump,
-            iterations=np.asarray(iters),
-            tracking_error=np.asarray(errs),
-            status=np.asarray(statuses),
+            # [NSIM, B] in both layouts (tiled arrays flatten in lane order)
+            iterations=np.asarray(iters).reshape(NSIM, -1),
+            tracking_error=np.asarray(errs).reshape(NSIM, -1),
+            status=np.asarray(statuses).reshape(NSIM, -1),
         )
 
     total_solves = B * NSIM
@@ -394,7 +460,9 @@ def parent_main() -> int:
         rungs += [
             ("tpu", {}),
             ("tpu-retry", {}),
-            ("tpu-no-pallas", {"ALTRO_BENCH_PALLAS_BWD": "0"}),
+            ("tpu-no-tiled", {"ALTRO_BENCH_TILED": "0"}),
+            ("tpu-no-pallas", {"ALTRO_BENCH_PALLAS_BWD": "0",
+                               "ALTRO_BENCH_TILED": "0"}),
             ("tpu-b1024", {"ALTRO_BENCH_BATCH": "1024"}),
         ]
     rungs.append(

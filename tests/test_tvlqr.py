@@ -128,3 +128,73 @@ class TestBackwardPass:
         g32 = tvlqr_backward(*args32[:8])
         np.testing.assert_allclose(g32.K[0], np.asarray(g64.K[0]), rtol=2e-3, atol=1e-4)
         np.testing.assert_allclose(g32.d[0], np.asarray(g64.d[0]), rtol=2e-3, atol=1e-4)
+
+
+class TestDiagonalFastPath:
+    """Diagonal-cost fast path (reference is_diag, tvlqr.cpp:85-89,125-128):
+    lxx/luu passed as diagonals with lux=None must reproduce the dense call."""
+
+    def test_diag_equals_dense(self):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        N, n, m = 20, 4, 2
+        A = jnp.asarray(np.tile(np.eye(n), (N, 1, 1)) + 0.05 * rng.standard_normal((N, n, n)))
+        B = jnp.asarray(0.3 * rng.standard_normal((N, n, m)))
+        f = jnp.asarray(0.01 * rng.standard_normal((N, n)))
+        lxxd = jnp.asarray(0.5 + rng.random((N + 1, n)))
+        luud = jnp.asarray(0.5 + rng.random((N, m)))
+        lx = jnp.asarray(rng.standard_normal((N + 1, n)))
+        lu = jnp.asarray(rng.standard_normal((N, m)))
+        dense = tvlqr_backward(
+            A, B, f, jax.vmap(jnp.diag)(lxxd), jax.vmap(jnp.diag)(luud),
+            jnp.zeros((N, m, n)), lx, lu)
+        diag = tvlqr_backward(A, B, f, lxxd, luud, None, lx, lu)
+        np.testing.assert_allclose(diag.K, dense.K, atol=1e-12)
+        np.testing.assert_allclose(diag.d, dense.d, atol=1e-12)
+        np.testing.assert_allclose(diag.P, dense.P, atol=1e-12)
+        np.testing.assert_allclose(diag.delta_V, dense.delta_V, atol=1e-12)
+        assert bool(diag.ok)
+
+    def test_solver_diag_mode_matches_dense(self):
+        """End-to-end: an eligible problem (diagonal cost + diag_hessian
+        bound constraint) solved with diag_expansion on vs off gives the
+        same iterates and stats (f64)."""
+        import dataclasses
+
+        import numpy as np
+
+        from altro_tpu.cones import Cone
+        from altro_tpu.models.double_integrator import double_integrator_dynamics
+        from altro_tpu.options import SolverOptions
+        from altro_tpu.problem import ConstraintSpec, Problem, lqr_cost_from_reference
+        from altro_tpu.solver import init_state, solve
+
+        N, dim = 10, 2
+        n, m = 2 * dim, dim
+        bound = ConstraintSpec(
+            fn=lambda x, u, k: jnp.concatenate([u - 0.5, -0.5 - u]),
+            cone=Cone.NEGATIVE_ORTHANT, dim=2 * m,
+            active=jnp.ones(N + 1, bool).at[N].set(False),
+            label="control bound", diag_hessian=True,
+        )
+        problem = Problem(
+            N=N, n=n, m=m, dynamics=double_integrator_dynamics(dim),
+            dynamics_jac=None, constraints=(bound,),
+            cost=lqr_cost_from_reference(
+                jnp.ones((N + 1, n)), jnp.full((N + 1, m), 1e-2),
+                jnp.zeros((N + 1, n)), jnp.zeros((N + 1, m)),
+            ),
+            h=jnp.full(N, 0.1), x0=jnp.asarray([1.0, 2.0, 0.0, 0.0]),
+        )
+        state = init_state(problem)
+        opts_on = SolverOptions(iterations_max=30, throw_errors=False,
+                                diag_expansion=True)
+        opts_off = dataclasses.replace(opts_on, diag_expansion=False)
+        s_on, t_on = jax.jit(lambda s: solve(problem, s, opts_on))(state)
+        s_off, t_off = jax.jit(lambda s: solve(problem, s, opts_off))(state)
+        assert int(t_on.iterations) == int(t_off.iterations)
+        assert int(t_on.status) == int(t_off.status)
+        np.testing.assert_allclose(s_on.x, s_off.x, atol=1e-10)
+        np.testing.assert_allclose(s_on.u, s_off.u, atol=1e-10)
+        np.testing.assert_allclose(s_on.K, s_off.K, atol=1e-10)
