@@ -43,6 +43,7 @@ from altro_tpu.ops.pallas_riccati import BATCH_TILE, SUB, LANE
 
 __all__ = [
     "tile_vmap",
+    "retry_tiled",
     "TileArgs",
     "rollout_phi_x_tiled",
     "rollout_grid_tiled",
@@ -268,6 +269,44 @@ def light_from_xstack_tiled(
         for zs, zN in zip(zproj_st, zproj_N)
     )
     return u_t, y_t, convals, zproj
+
+
+def retry_tiled(opts, attempt, reg0_t):
+    """Adaptive-regularization retry over the whole tiled batch —
+    per-lane semantics identical to the vmapped per-lane while_loop in
+    solver.backward_adaptive (lanes already ok keep their gains; only
+    failing lanes bump reg and take the recomputed values)."""
+
+    g0 = attempt(reg0_t)
+
+    def cond(c):
+        g, _, tries = c
+        return jnp.logical_and(tries < opts.reg_max_retries,
+                               jnp.any(jnp.logical_not(g.ok)))
+
+    def body(c):
+        g, reg_c, tries = c
+        need = jnp.logical_not(g.ok)  # [Bt, 8, 128]
+        reg_new = jnp.where(
+            need,
+            jnp.where(reg_c <= 0, opts.reg_min, reg_c * opts.reg_scaling),
+            reg_c,
+        )
+        g2 = attempt(reg_new)
+
+        def sel(old, new):
+            mask = need.reshape(
+                need.shape[:1] + (1,) * (old.ndim - 3) + need.shape[1:]
+            )
+            return jnp.where(mask, new, old)
+
+        g_sel = jax.tree.map(sel, g, g2)
+        return g_sel, reg_new, tries + 1
+
+    g, reg_used, _ = jax.lax.while_loop(
+        cond, body, (g0, reg0_t, jnp.asarray(0, jnp.int32))
+    )
+    return g, reg_used
 
 
 def cost_expansions_tiled(ta: TileArgs, x_t, u_t, z_t, rho_t, diag=False):

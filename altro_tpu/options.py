@@ -151,18 +151,12 @@ class SolverOptions:
     # Mutually exclusive with parallel_riccati / symmetrize_ctg (a
     # ValueError at solve time).
     pallas_backward: bool = False
-    # Tile-resident variant of pallas_backward: moves the custom_vmap
-    # boundary up to the whole "AL expansions + backward" block, so the
-    # batched rule produces the expansion operands directly in the
-    # kernel's (8, 128) lane-tile layout (nested vmaps with trailing
-    # batch axes) instead of relayouting batch-major arrays —
-    # docs/PERF.md round-1 measured that relayout to dominate the
-    # fused-backward cost. Measured 1.37-1.42x on the isolated
-    # expansion+backward block at headline scale (ops/tiled_backward.py,
-    # scripts/proto_tile_real.py), but currently a regression inside the
-    # full fused solve loop (under investigation) — hence opt-in.
-    # The per-lane (unbatched) path is unchanged, so f64 parity holds.
-    pallas_tile_resident: bool = False
+    # NOTE (round 3): the round-2 opt-in `pallas_tile_resident` boundary
+    # (custom_vmap around expansion+backward only) was removed — measured
+    # 0.58x end-to-end because the K/d/P/p edge conversions recurred every
+    # iteration (docs/PERF.md). Its successor is the tile-resident
+    # ITERATION: `altro_tpu.tile_solver.solve_tiled`, a natively-batched
+    # solve whose whole loop stays in lane-tile layout (2.1x the headline).
     # Diagonal expansion fast path (the reference's is_diag,
     # tvlqr.cpp:85-89,125-128, extended to the AL Hessian): when the cost
     # is diagonal and every constraint declares diag_hessian

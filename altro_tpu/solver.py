@@ -703,17 +703,6 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         verbose=opts.verbose >= Verbosity.LINE_SEARCH,
     )
 
-    use_tiled_boundary = (
-        opts.pallas_backward
-        and opts.pallas_tile_resident
-        and not opts.parallel_riccati
-        and not opts.symmetrize_ctg
-    )
-    if use_tiled_boundary:
-        from altro_tpu.ops.tiled_backward import make_expand_backward
-
-        expand_backward = make_expand_backward(opts)
-
     # Diagonal expansion storage on the DEFAULT (scan) path: when the AL
     # Hessian is provably diagonal, store [N+1, n] diagonals and run the
     # diag Riccati step — the reference's is_diag fast path
@@ -781,24 +770,14 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         #    (x, u) and are reused from the accepted merit evaluation
         # 2. Riccati backward pass with adaptive regularization
         A, B = c.A, c.B
-        if use_tiled_boundary:
-            # one custom_vmap boundary around both steps: the batched
-            # rule produces the expansions directly in lane-tile layout
-            # and runs the fused kernel with zero operand relayout
-            # (ops/tiled_backward.py)
-            eb = expand_backward(problem, c.x, c.u, c.z, c.rho, A, B, c.reg)
-            gains = TVLQRGains(eb.K, eb.d, eb.P, eb.p, eb.delta_V, eb.ok,
-                               eb.fail_index)
-            reg_used, phi0, lx, lu = eb.reg_used, eb.phi0, eb.lx, eb.lu
-        else:
-            expand = (
-                _cost_expansions_and_cost_diag if diag_mode
-                else _cost_expansions_and_cost
-            )
-            lx, lu, lxx, luu, lux, phi0 = expand(problem, c.x, c.u, c.z, c.rho)
-            gains, reg_used = backward_adaptive(
-                opts, A, B, lxx, luu, lux, lx, lu, c.reg
-            )
+        expand = (
+            _cost_expansions_and_cost_diag if diag_mode
+            else _cost_expansions_and_cost
+        )
+        lx, lu, lxx, luu, lux, phi0 = expand(problem, c.x, c.u, c.z, c.rho)
+        gains, reg_used = backward_adaptive(
+            opts, A, B, lxx, luu, lux, lx, lu, c.reg
+        )
         bp_failed = jnp.logical_not(gains.ok)
 
         # 3. Merit derivative at alpha = 0: the classical iLQR

@@ -44,7 +44,6 @@ from altro_tpu.ops.pallas_riccati import (
     riccati_backward_pallas_tiled,
     tiles_to_batch,
 )
-from altro_tpu.ops.tiled_backward import _retry_tiled
 from altro_tpu.options import SolverOptions
 from altro_tpu.problem import Problem
 from altro_tpu.solver import SolverState, SolveStats
@@ -362,7 +361,7 @@ def solve_tiled(
                 interpret=interpret,
             )
 
-        g, reg_used = _retry_tiled(opts, attempt, c.reg)
+        g, reg_used = ti.retry_tiled(opts, attempt, c.reg)
         bp_failed = jnp.logical_not(g.ok)
 
         # 3. dphi(0) = expected-decrease identity (per lane)

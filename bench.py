@@ -226,10 +226,6 @@ def child_main():
         # back-to-back, identical closed-loop error/success); +29% on
         # the n=12 quadrotor config in bench_all.py (143k -> 185k).
         pallas_backward=use_pallas,
-        # Tile-resident expansion+backward boundary (ops/tiled_backward.py):
-        # expansions produced directly in lane-tile layout, zero operand
-        # relayout into the fused kernel.
-        pallas_tile_resident=os.environ.get("ALTRO_BENCH_TILE_RESIDENT", "0") == "1",
     )
 
     # Sliding tracking windows (shared across lanes), precomputed on host
