@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["psd_solve_small", "mm", "mtm", "mv", "mtv", "UNROLL_LIMIT"]
+__all__ = ["psd_solve_small", "lu_solve_small", "mm", "mtm", "mv", "mtv", "UNROLL_LIMIT"]
 
 UNROLL_LIMIT = 8
 _MM_LIMIT = 16
@@ -113,3 +113,50 @@ def psd_solve_small(M, rhs):
         y = jax.scipy.linalg.solve_triangular(chol, rhs2, lower=True)
         X = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
     return (X[:, 0] if vec else X), ok
+
+
+def lu_solve_small(M, rhs):
+    """Solve M X = rhs for GENERAL square M [m, m], rhs [m, k] or [m],
+    via trace-time-unrolled Gaussian elimination with partial pivoting
+    (branchless: the pivot row is selected with one-hot blends, so the
+    whole solve fuses into surrounding VPU work under vmap/scan — the
+    same rationale as psd_solve_small; XLA's batched LU on tiny matrices
+    dispatches per-element library kernels instead).
+
+    Falls back to jnp.linalg.solve above UNROLL_LIMIT. No ok flag: like
+    jnp.linalg.solve, a singular M produces inf/nan.
+    """
+    m = M.shape[-1]
+    vec = rhs.ndim == 1
+    rhs2 = rhs[:, None] if vec else rhs
+    if m > UNROLL_LIMIT:
+        X = jnp.linalg.solve(M, rhs2)
+        return X[:, 0] if vec else X
+
+    # Augmented rows as lists of scalar/row values
+    rows = [jnp.concatenate([M[i], rhs2[i]], axis=0) for i in range(m)]
+    for col in range(m):
+        # partial pivot: pick the remaining row with max |entry| in `col`
+        cand = jnp.stack([rows[r][col] for r in range(col, m)])
+        piv = jnp.argmax(jnp.abs(cand))  # index into rows[col:]
+        # branchless swap rows[col] <-> rows[col + piv]
+        sel = [piv == (r - col) for r in range(col, m)]
+        pivot_row = rows[col]
+        for r in range(col, m):
+            pivot_row = jnp.where(sel[r - col], rows[r], pivot_row)
+        for r in range(col + 1, m):
+            # row r receives the old rows[col] if it was chosen as pivot
+            rows[r] = jnp.where(sel[r - col], rows[col], rows[r])
+        rows[col] = pivot_row
+        inv_p = 1.0 / rows[col][col]
+        for r in range(col + 1, m):
+            rows[r] = rows[r] - (rows[r][col] * inv_p) * rows[col]
+    # back substitution
+    xs = [None] * m
+    for i in reversed(range(m)):
+        s = rows[i][m:]
+        for k2 in range(i + 1, m):
+            s = s - rows[i][k2] * xs[k2]
+        xs[i] = s / rows[i][i]
+    X = jnp.stack(xs, axis=0)
+    return X[:, 0] if vec else X

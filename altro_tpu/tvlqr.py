@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from altro_tpu.ops.smallmat import mm, mtm, mtv, mv, psd_solve_small
+from altro_tpu.ops.smallmat import lu_solve_small, mm, mtm, mtv, mv, psd_solve_small
 
 
 def _unroll(N: int) -> int:
@@ -217,8 +217,10 @@ def _combine_value_elements(a, b):
     n = Aa.shape[-1]
     eye = jnp.eye(n, dtype=Aa.dtype)
 
-    # (I + Ca Jb)^-1 applied from the left
-    M = jnp.linalg.solve(eye + Ca @ Jb, jnp.concatenate([Aa, (ba + Ca @ etab)[..., None], Ca], axis=-1))
+    # (I + Ca Jb)^-1 applied from the left (unrolled small LU: XLA's
+    # batched tiny solve dispatches per-element library kernels, which
+    # dominated the associative path's cost — docs/PERF.md round 3)
+    M = lu_solve_small(eye + Ca @ Jb, jnp.concatenate([Aa, (ba + Ca @ etab)[..., None], Ca], axis=-1))
     M_Aa = M[..., :n]
     M_vec = M[..., n]
     M_Ca = M[..., n + 1 :]
@@ -228,7 +230,7 @@ def _combine_value_elements(a, b):
     C = Ab @ M_Ca @ Ab.T + Cb
 
     # (I + Jb Ca)^-1 applied from the left
-    N2 = jnp.linalg.solve(
+    N2 = lu_solve_small(
         eye + Jb @ Ca, jnp.concatenate([(etab - Jb @ ba)[..., None], Jb @ Aa], axis=-1)
     )
     eta = Aa.T @ N2[..., 0] + etaa
