@@ -310,11 +310,20 @@ def main():
     # iterations_max=15 lets cold lanes CONVERGE (TPU f32: p50 11
     # iterations, ~95% of lanes reach the 1e-3 tolerances; a handful
     # stall at the f32 stationarity floor ~2e-3).
+    quad_tiled = (
+        platform == "tpu"
+        and os.environ.get("ALTRO_BENCH_QUAD_TILED", "1") == "1"
+        and Bq % 1024 == 0
+    )
     qopts = dataclasses.replace(
         f32opts, iterations_max=15, rti_mode=False,
         use_backtracking_linesearch=True, parallel_linesearch=True,
         ls_phase_split=True, ls_try_cubic_first=False, ls_max_iters=8,
         penalty_warm_start=True,
+        # Armijo-only acceptance: required by the tile-resident runner
+        # (and measured equal-accuracy on the bicycle headline); the
+        # waypoint sidecars below (success, final dist) gate it here.
+        ls_armijo_only=quad_tiled,
         # Relative-KKT stationarity: the quadrotor's cost scale (terminal
         # Q ~ 10, duals ~ 20) puts the f32 absolute-residual floor near
         # 2e-3 > tol_stationarity — well-solved lanes would otherwise
@@ -358,22 +367,64 @@ def main():
         prob = dataclasses.replace(qproblem, x0=x0, cost=cost)
         return S_solve(prob, state, qopts)
 
-    def qtick(carry, t):
-        x_true, states = carry
-        q_t = jnp.broadcast_to(q_wp[wp_idx[t]], (Bq, N + 1, n))
-        c_t = jnp.broadcast_to(c_wp[wp_idx[t]], (Bq, N + 1))
-        states, stats = jax.vmap(qresolve)(x_true, q_t, c_t, states)
-        u0 = states.u[:, 0]
-        x_true = jax.vmap(lambda x, u: qdyn(x, u, jnp.asarray(0.05, dtype), 0))(
-            x_true, u0)
-        states = jax.vmap(shift_trajectory)(states)
-        return (x_true, states), (stats.iterations, stats.status)
+    if quad_tiled:
+        # Tile-resident runner (altro_tpu.tile_solver): state stays in
+        # lane-tile layout across all ticks; waypoint cost terms stay
+        # unbatched (shared across lanes). Same structure as bench.py's
+        # headline loop.
+        from altro_tpu import tile_solver as _tsv
+        from altro_tpu.ops.tile_iter import tile_vmap as _tile_vmap
 
-    @jax.jit
-    def qrun(x_true, states):
-        (x_true, states), (iters, statuses) = jax.lax.scan(
-            qtick, (x_true, states), jnp.arange(QNSIM))
-        return x_true, states, iters, statuses
+        q_axes = dataclasses.replace(
+            qproblem,
+            cost=dataclasses.replace(qproblem.cost, Q=False, R=False,
+                                     q=False, r=False, c=False),
+            h=False, x0=True, A=False, B=False, f_aff=False,
+            constraints=(),
+        )
+        qdyn_tiled = _tile_vmap(
+            lambda xk, uk: qdyn(xk, uk, jnp.asarray(0.05, dtype), 0),
+            (True, True))
+
+        def qtick(carry, t):
+            x_true_t, st_t = carry
+            prob_t = dataclasses.replace(
+                qproblem,
+                cost=dataclasses.replace(
+                    qproblem.cost, q=q_wp[wp_idx[t]], c=c_wp[wp_idx[t]]),
+                x0=x_true_t)
+            st_t, stats = _tsv.solve_tiled(prob_t, q_axes, st_t, qopts)
+            u0 = st_t.u[:, 0]
+            x_true_t = qdyn_tiled(x_true_t, u0)
+            st_t = _tsv.shift_trajectory_tiled(st_t)
+            return (x_true_t, st_t), (stats.iterations, stats.status)
+
+        @jax.jit
+        def qrun(x_true, states):
+            x_true_t = _tsv.batch_to_tiles(x_true)
+            st_t = _tsv.state_to_tiles(states)
+            (x_true_t, st_t), (iters, statuses) = jax.lax.scan(
+                qtick, (x_true_t, st_t), jnp.arange(QNSIM))
+            return (_tsv.tiles_to_batch(x_true_t),
+                    _tsv.state_from_tiles(st_t), iters, statuses)
+
+    else:
+        def qtick(carry, t):
+            x_true, states = carry
+            q_t = jnp.broadcast_to(q_wp[wp_idx[t]], (Bq, N + 1, n))
+            c_t = jnp.broadcast_to(c_wp[wp_idx[t]], (Bq, N + 1))
+            states, stats = jax.vmap(qresolve)(x_true, q_t, c_t, states)
+            u0 = states.u[:, 0]
+            x_true = jax.vmap(lambda x, u: qdyn(x, u, jnp.asarray(0.05, dtype), 0))(
+                x_true, u0)
+            states = jax.vmap(shift_trajectory)(states)
+            return (x_true, states), (stats.iterations, stats.status)
+
+        @jax.jit
+        def qrun(x_true, states):
+            (x_true, states), (iters, statuses) = jax.lax.scan(
+                qtick, (x_true, states), jnp.arange(QNSIM))
+            return x_true, states, iters, statuses
 
     import time as _time
 
@@ -385,7 +436,7 @@ def main():
     final_dist = float(jnp.mean(jnp.linalg.norm(
         x_true_f[:, :3] - jnp.asarray(final_wp[:3], dtype)[None, :], axis=1)))
     row = {
-        "config": f"quadrotor_waypoint_mpc_B{Bq}",
+        "config": f"quadrotor_waypoint_mpc_B{Bq}" + ("_tiled" if quad_tiled else ""),
         "platform": platform,
         "solves_per_s": round(Bq * QNSIM / q_elapsed, 1),
         "batch_resolve_latency_ms": round(q_elapsed / QNSIM * 1e3, 3),
