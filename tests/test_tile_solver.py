@@ -239,3 +239,20 @@ def test_unsupported_options_raise():
     with pytest.raises(ValueError):
         _run_tiled(problem, x0b, states,
                    SolverOptions(use_backtracking_linesearch=True))
+
+
+def test_parity_unconstrained_empty_dual_tuple():
+    """Empty constraint tuple (the quadrotor waypoint config's shape): the
+    tiled dual pytree is (), and feasibility/complementarity reduce over
+    nothing. Uses the bicycle model so the interpret-mode kernel stays
+    cheap; the full n=12 quadrotor parity runs in the on-device subset
+    (tests/tpu/test_on_device.py)."""
+    problem, ref = _problem()
+    problem = dataclasses.replace(problem, constraints=())
+    x0b, states = _batched_inputs(problem, ref)
+    states = dataclasses.replace(states, z=())
+    opts = _opts(iterations_max=3)
+    sv, tv = _run_vmapped(problem, x0b, states, opts)
+    st, tt = _run_tiled(problem, x0b, states, opts)
+    _assert_state_close(sv, st, tol=1e-3, lane_frac=0.999)
+    _assert_stats_match(tv, tt)
