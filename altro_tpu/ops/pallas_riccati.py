@@ -70,7 +70,7 @@ SUB, LANE = 8, 128
 BATCH_TILE = SUB * LANE  # 1024 lanes per batch tile
 
 
-def _kernel(n, m, N, bt, diag_cost, with_f, with_lux, *refs):
+def _kernel(n, m, N, bt, diag_cost, with_f, with_lux, symmetrize, *refs):
     """One grid step = one knot (k = N-1-program_id(1)) of one batch tile.
 
     Streamed refs hold that knot's blocks of (8,128) lane tiles. Operand
@@ -235,11 +235,19 @@ def _kernel(n, m, N, bt, diag_cost, with_f, with_lux, *refs):
             for i in range(m)]
     KtQux = [[sum(Kk[l][i] * Qux[l][j] for l in range(m)) for j in range(n)]
              for i in range(n)]
+    Pk_all = [[(Qxx[i][j]
+                + sum(QuuK[l][i] * Kk[l][j] for l in range(m))
+                - KtQux[i][j] - KtQux[j][i])
+               for j in range(n)] for i in range(n)]
+    if symmetrize:
+        # In-kernel cost-to-go re-symmetrization (long-horizon f32
+        # stability, tvlqr.symmetrize semantics). Register-level averages
+        # — unlike the XLA scan, where the per-step transposes cost ~40%.
+        Pk_all = [[0.5 * (Pk_all[i][j] + Pk_all[j][i]) for j in range(n)]
+                  for i in range(n)]
     for i in range(n):
         for j in range(n):
-            Pk = (Qxx[i][j]
-                  + sum(QuuK[l][i] * Kk[l][j] for l in range(m))
-                  - KtQux[i][j] - KtQux[j][i])
+            Pk = Pk_all[i][j]
             Pc[i, j] = Pk
             st(P_ref, Pk, i, j)
     for i in range(n):
@@ -332,7 +340,7 @@ def _run(A, B, f, lxx, luu, lux, lx, lu, reg, interpret=False):
         jax.ShapeDtypeStruct((bt, 2) + T, jnp.float32),            # dV
         jax.ShapeDtypeStruct((bt, 2) + T, jnp.float32),            # flags
     )
-    kern = functools.partial(_kernel, n, m, N, False, False, True, True)
+    kern = functools.partial(_kernel, n, m, N, False, False, True, True, False)
     outs = pl.pallas_call(
         kern,
         grid=(bt, N),
@@ -390,9 +398,9 @@ class PallasGainsBT(NamedTuple):
     fail_index: jnp.ndarray  # [Bt, 8, 128] int32
 
 
-@functools.partial(jax.jit, static_argnames=("diag_cost", "interpret"))
+@functools.partial(jax.jit, static_argnames=("diag_cost", "symmetrize", "interpret"))
 def _run_tiled(A, B, lxx, luu, lux, lx, lu, reg, diag_cost=False,
-               interpret=False):
+               symmetrize=False, interpret=False):
     """Tile-resident entry: operands [Bt, N(+1), entry..., 8, 128].
 
     Same physical layout the batch-major wrapper relayouts INTO — but
@@ -459,7 +467,7 @@ def _run_tiled(A, B, lxx, luu, lux, lx, lu, reg, diag_cost=False,
     # bt=False: the tiled layout uses the same (batch-tile leading)
     # block convention as the batch-major wrapper
     kern = functools.partial(_kernel, n, m, N, False, diag_cost, False,
-                             with_lux)
+                             with_lux, symmetrize)
     outs = pl.pallas_call(
         kern,
         grid=(bt, N),
@@ -488,7 +496,7 @@ def _run_tiled(A, B, lxx, luu, lux, lx, lu, reg, diag_cost=False,
 
 
 def riccati_backward_pallas_tiled(A, B, lxx, luu, lx, lu, reg, lux=None,
-                                  diag_cost=False,
+                                  diag_cost=False, symmetrize=False,
                                   interpret=False) -> PallasGainsBT:
     """Tile-resident fused Riccati backward pass (zero relayout).
 
@@ -506,7 +514,7 @@ def riccati_backward_pallas_tiled(A, B, lxx, luu, lx, lu, reg, lux=None,
     """
     return PallasGainsBT(*_run_tiled(
         A, B, lxx, luu, lux, lx, lu, reg,
-        diag_cost=diag_cost, interpret=interpret))
+        diag_cost=diag_cost, symmetrize=symmetrize, interpret=interpret))
 
 
 def batch_to_tiles(x):

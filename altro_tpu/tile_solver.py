@@ -142,7 +142,6 @@ def supported_options(opts: SolverOptions) -> bool:
     return (
         ls_ok
         and not opts.parallel_riccati
-        and not opts.symmetrize_ctg
         and opts.iteration_callback is None
     )
 
@@ -358,7 +357,7 @@ def solve_tiled(
         def attempt(r_t):
             return riccati_backward_pallas_tiled(
                 c.A, c.B, lxx, luu, lx, lu, r_t, lux=lux, diag_cost=diag,
-                interpret=interpret,
+                symmetrize=opts.symmetrize_ctg, interpret=interpret,
             )
 
         g, reg_used = ti.retry_tiled(opts, attempt, c.reg)

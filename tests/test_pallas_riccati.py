@@ -184,3 +184,27 @@ def test_multi_tile_batch():
     solo = riccati_backward_pallas(*tile1, interpret=True)
     np.testing.assert_array_equal(np.asarray(out.K[BATCH_TILE:]),
                                   np.asarray(solo.K))
+
+
+def test_tiled_symmetrize_matches_scan_symmetrize():
+    """In-kernel cost-to-go symmetrization (long-horizon f32 stabilizer)
+    vs tvlqr_backward(symmetrize=True)."""
+    from altro_tpu.ops.pallas_riccati import (
+        batch_to_tiles,
+        riccati_backward_pallas_tiled,
+        tiles_to_batch,
+    )
+
+    A, B, f, lxx, luu, lux, lx, lu = make_batch(BATCH_TILE, N=8)
+    reg_t = jnp.zeros((1, 8, 128), jnp.float32)
+    out = riccati_backward_pallas_tiled(
+        batch_to_tiles(jnp.asarray(A)), batch_to_tiles(jnp.asarray(B)),
+        batch_to_tiles(jnp.asarray(lxx)), batch_to_tiles(jnp.asarray(luu)),
+        batch_to_tiles(jnp.asarray(lx)), batch_to_tiles(jnp.asarray(lu)),
+        reg_t, lux=batch_to_tiles(jnp.asarray(lux)), symmetrize=True,
+        interpret=True)
+    ref = jax.vmap(lambda *a: tvlqr_backward(*a, symmetrize=True))(
+        *(jnp.asarray(a) for a in (A, B, np.zeros_like(f), lxx, luu, lux, lx, lu)))
+    assert bool(tiles_to_batch(out.ok).all()) and bool(ref.ok.all())
+    np.testing.assert_allclose(tiles_to_batch(out.K), np.asarray(ref.K), atol=2e-5)
+    np.testing.assert_allclose(tiles_to_batch(out.P), np.asarray(ref.P), atol=2e-4)
