@@ -149,7 +149,9 @@ class SolverOptions:
     # setup can still dispatch the kernel on the wrong backend and fail
     # at lowering (hence opt-in rather than default).
     # Mutually exclusive with parallel_riccati / symmetrize_ctg (a
-    # ValueError at solve time).
+    # ValueError at solve time; the tile-resident batched solve
+    # (tile_solver.solve_tiled) supports symmetrize_ctg natively via
+    # in-kernel re-symmetrization instead).
     pallas_backward: bool = False
     # NOTE (round 3): the round-2 opt-in `pallas_tile_resident` boundary
     # (custom_vmap around expansion+backward only) was removed — measured

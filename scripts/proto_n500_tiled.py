@@ -100,7 +100,8 @@ def main():
             tol_primal_feasibility=1e-3, throw_errors=False,
             use_backtracking_linesearch=True, parallel_linesearch=True,
             ls_phase_split=True, ls_try_cubic_first=False,
-            ls_armijo_only=True, ls_grid_x_only=True, ls_max_iters=24,
+            ls_armijo_only=True, ls_grid_x_only=True,
+            ls_max_iters=int(os.environ.get("N500_LS_ITERS", "8")),
             symmetrize_ctg=sym,
         )
         run = jax.jit(lambda s: tsv.solve_tiled(prob_t, prob_axes, s, opts))
