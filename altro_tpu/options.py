@@ -153,6 +153,19 @@ class SolverOptions:
     # (tile_solver.solve_tiled) supports symmetrize_ctg natively via
     # in-kernel re-symmetrization instead).
     pallas_backward: bool = False
+    # Single-lane latency kernel (ops/pallas_packed.py): UNBATCHED solves
+    # on a TPU backend with f32 operands and n, m <= 8 run the whole
+    # Riccati backward as ONE packed Pallas program instead of an N-step
+    # XLA scan of tiny ops (~10 us/knot op latency -> kernel latency;
+    # docs/PERF.md N=500 attribution). DEFAULT ON: vmapped solves, CPU /
+    # f64 traces, and big blocks (quadrotor n=12) fall back to the scan
+    # automatically, so the flag only changes who executes the same
+    # recursion (parity ~3e-7, tests/test_pallas_packed.py). Compatible
+    # with symmetrize_ctg (in-kernel) and diag_expansion (packed
+    # diagonals); ignored when pallas_backward or parallel_riccati is
+    # selected. Matches the reference's single-solve deployment
+    # (bicycle_test.cpp:302-342) — its only execution mode.
+    pallas_latency_backward: bool = True
     # NOTE (round 3): the round-2 opt-in `pallas_tile_resident` boundary
     # (custom_vmap around expansion+backward only) was removed — measured
     # 0.58x end-to-end because the K/d/P/p edge conversions recurred every

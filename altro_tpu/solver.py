@@ -630,6 +630,17 @@ def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
     elif opts.parallel_riccati:
         def attempt(reg):
             return tvlqr_backward_associative(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
+    elif opts.pallas_latency_backward:
+        # Single-lane packed kernel when this trace is unbatched on TPU
+        # (f32, n/m <= 8); the custom_vmap fallback is exactly the scan
+        # below, so this branch never changes semantics — only latency.
+        from altro_tpu.ops.packed_backward import tvlqr_backward_latency
+
+        def attempt(reg):
+            return tvlqr_backward_latency(
+                A, B, f_zero, lxx, luu, lux, lx, lu, reg,
+                symmetrize=opts.symmetrize_ctg,
+            )
     else:
         def attempt(reg):
             return tvlqr_backward(

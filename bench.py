@@ -42,8 +42,11 @@ import sys
 import time
 
 BASELINE_SOLVES_PER_S = 1000.0  # single-threaded C++ reference estimate (BASELINE.md)
+# Default the persistent compile cache to a home-dir path: /tmp is wiped
+# between sessions, which cost two rounds their pre-seeded caches.
 COMPILE_CACHE_DIR = os.environ.get(
-    "ALTRO_BENCH_CACHE_DIR", "/tmp/jax_cache_altro_bench"
+    "ALTRO_BENCH_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "jax_cache_altro_bench"),
 )
 
 # Hard accuracy gates: the bench FAILS (exit code 3) when the measured

@@ -289,3 +289,35 @@ def test_tiled_solve_quadrotor_parity_on_device():
     assert frac > 0.999, f"u agreement {frac}"
     agree = float(jnp.mean((tv.iterations == tt.iterations).astype(jnp.float32)))
     assert agree > 0.99, f"iterations agreement {agree}"
+
+
+def test_packed_latency_kernel_parity_on_device():
+    """Single-lane packed latency kernel (ops/pallas_packed.py) compiled
+    on the real device matches the scan at N=120 (chunked grid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from altro_tpu.ops.pallas_packed import riccati_backward_pallas_packed
+    from altro_tpu.tvlqr import tvlqr_backward
+
+    Nl = 120
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(
+        np.tile(np.eye(n), (Nl, 1, 1)) + 0.02 * rng.standard_normal((Nl, n, n)),
+        jnp.float32)
+    Bm = jnp.asarray(0.2 * rng.standard_normal((Nl, n, m)), jnp.float32)
+    fz = jnp.zeros((Nl, n), jnp.float32)
+    lxx = jnp.asarray(np.tile(np.eye(n) * 0.01, (Nl + 1, 1, 1)), jnp.float32)
+    luu = jnp.asarray(np.tile(np.eye(m) * 0.001, (Nl, 1, 1)), jnp.float32)
+    lx = jnp.asarray(0.1 * rng.standard_normal((Nl + 1, n)), jnp.float32)
+    lu = jnp.asarray(0.01 * rng.standard_normal((Nl, m)), jnp.float32)
+
+    ref = tvlqr_backward(A, Bm, fz, lxx, luu, None, lx, lu, reg=0.0,
+                         symmetrize=True)
+    got = riccati_backward_pallas_packed(A, Bm, lxx, luu, lx, lu, reg=0.0,
+                                         symmetrize=True)
+    assert bool(got.ok)
+    scale = float(jnp.max(jnp.abs(ref.K)))
+    assert float(jnp.max(jnp.abs(got.K - ref.K))) <= 1e-3 * max(scale, 1.0)
+    assert float(jnp.max(jnp.abs(got.d - ref.d))) <= 1e-3
+    assert float(jnp.max(jnp.abs(got.P - ref.P))) <= 1e-2
