@@ -118,9 +118,16 @@ def export_mpc_server(
     constants, exactly like the reference's statically-sized embedded
     builds (tvlqr_TotalMemSize sizing, tvlqr.cpp:18-63).
     """
+    plats = tuple(platforms) if platforms is not None else ("tpu", "cpu")
+    if any(p != "tpu" for p in plats):
+        # The single-lane latency kernel dispatches at trace time from the
+        # process default backend; a multi-platform artifact would bake a
+        # TPU-only Mosaic call into the CPU lowering. Force the portable
+        # scan path for any non-TPU target platform (TPU-only artifacts —
+        # e.g. the B=1 latency config — keep the packed kernel).
+        opts = dataclasses.replace(opts, pallas_latency_backward=False)
     fn = jax.jit(make_serving_fn(problem, opts, batch))
     args = _example_args(problem, batch)
-    plats = tuple(platforms) if platforms is not None else ("tpu", "cpu")
     return jax_export.export(fn, platforms=plats)(*args)
 
 

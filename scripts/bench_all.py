@@ -157,6 +157,11 @@ def main():
             parallel_linesearch=N > 100,
             ls_phase_split=N > 100,
             ls_try_cubic_first=N <= 100,
+            # Armijo-only acceptance drops the two sequential 500-step
+            # dphi completion scans per iteration: 129 -> 78 ms at a
+            # slightly LOWER 20-iteration objective (8574 vs 8595) —
+            # same trade the headline bench made (docs/PERF.md).
+            ls_armijo_only=N > 100,
             # 3 grid blocks (alpha down to beta^23): the N=500 f32 solve
             # needs steps below beta^7 once the position-only reference's
             # inconsistency dominates; a single solve pays extra blocks
