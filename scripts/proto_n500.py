@@ -33,7 +33,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_altro_proto")
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_cache_altro_proto"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np

@@ -43,7 +43,7 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_cache_altro_proto")
+                      os.path.expanduser("~/.cache/jax_cache_altro_proto"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np

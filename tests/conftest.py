@@ -31,12 +31,12 @@ import jax
 
 if TPU_MODE:
     # real device, f32 (the kernels' native dtype); separate compile cache
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_altro_tpu_tests")
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_cache_altro_tpu_tests"))
 else:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     # Persistent compile cache: repeat suite runs skip XLA compilation.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_altro_tests")
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_cache_altro_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
