@@ -2,7 +2,9 @@
 
 `tvlqr_backward_latency` is the single-solve twin of
 ops/fused_backward.tvlqr_backward_fused: called unbatched on a TPU
-backend with f32 operands and n, m <= 8 it runs the packed single-lane
+backend with f32 operands at supported block sizes (packed_supported:
+m <= 8 and the row-grouped fields fit one 128-lane tile — the whole
+repo zoo, incl. the quadrotor's n = 12) it runs the packed single-lane
 Pallas kernel (ops/pallas_packed.py — the whole N-step recursion as one
 kernel program, ~10 us/knot XLA op latency collapsed to VPU issue
 latency); any other trace (CPU/f64 parity suites, big blocks) falls
@@ -23,7 +25,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from altro_tpu.ops.pallas_packed import SUB, riccati_backward_pallas_packed
+from altro_tpu.ops.pallas_packed import (
+    packed_supported,
+    riccati_backward_pallas_packed,
+)
 from altro_tpu.tvlqr import TVLQRGains, tvlqr_backward
 
 __all__ = ["tvlqr_backward_latency"]
@@ -46,7 +51,7 @@ def _make(symmetrize: bool):
         n, m = A.shape[1], B.shape[2]
         interpret = _FORCE_INTERPRET
         if ((interpret or _on_tpu()) and A.dtype == jnp.float32
-                and n <= SUB and m <= SUB):
+                and packed_supported(n, m)):
             return riccati_backward_pallas_packed(
                 A, B, lxx, luu, lx, lu, reg=reg, lux=lux, f=f,
                 symmetrize=symmetrize, interpret=interpret)

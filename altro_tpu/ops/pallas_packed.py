@@ -13,18 +13,23 @@ This kernel is the latency design point between the two:
 
   * every per-knot operand (A, B, their transposes, cost blocks) is
     PACKED into one (8, 128) f32 tile — sublanes are matrix rows,
-    8-lane fields are matrices — so a knot streams 4 KB, not 232 KB;
+    lane fields are matrices — so a knot streams 4 KB, not 232 KB;
   * all small-matrix algebra runs on packed blocks with row-major
     broadcast matmuls: C = sum_k M1[:, k:k+1] * M2[k:k+1, :] — k
     multiply-adds of full-width VPU ops per product, no library calls,
     no per-op XLA dispatch;
-  * the horizon recursion is a sequential grid over knot CHUNKS with the
-    cost-to-go carry (P, p) resident in VMEM scratch (and in registers
-    within a chunk), so the whole N-step chain is ONE kernel program —
-    the ~10 us/knot XLA op latency collapses to VPU issue latency, and
-    chunking (several knots per grid step, unrolled) amortizes the
-    per-grid-step pipeline overhead that dominates at 1 knot/step
-    (measured 6.2 -> ~2 us/knot at chunk=10, docs/PERF.md);
+  * matrices taller than the 8 sublanes are split into ROW GROUPS of 8
+    laid side by side in lanes (G = ceil(n/8) <= 2), and every product
+    distributes over the groups — this covers the quadrotor's n = 12
+    blocks in the same kernel (the packed fields must fit one 128-lane
+    tile; n=12/m=4 uses 121 lanes);
+  * the horizon recursion is a sequential grid over knot CHUNKS with
+    the cost-to-go carry (P, p) resident in VMEM scratch (and in
+    registers within a chunk), so the whole N-step chain is ONE kernel
+    program — the ~10 us/knot XLA op latency collapses to VPU issue
+    latency, and chunking (several knots per grid step, unrolled)
+    amortizes the per-grid-step pipeline overhead that dominates at
+    1 knot/step (measured 6.2 -> 3.9 us/knot at chunk=10, docs/PERF.md);
   * in-kernel transposed products are avoided: A^T/B^T/lux^T are
     packed as separate lane fields (transposing [N, n, n] is trivial
     for XLA at these sizes), and the gain solve runs twice — once left
@@ -38,10 +43,11 @@ broadcasts from non-zero lane offsets both fail to lower — rows/columns
 are assembled with one-hot masked sums and every scalar is normalized
 to a replicated layout via a masked full reduce (`_scalar`).
 
-Limits: n <= 8 and m <= 8 (matrix rows live in sublanes) — covers the
-reference problem zoo (bicycle n=4, double integrator, pendulum,
-cartpole); the quadrotor's n=12 stays on the batched kernel / scan.
-Single lane only — batches belong on ops/pallas_riccati.py.
+Limits: m <= 8 (the Cholesky runs in one row group) and the packed
+fields must fit 128 lanes (`packed_supported(n, m)`): every model in
+the repo zoo qualifies (bicycle n=4, double integrator, pendulum,
+cartpole, quadrotor n=12). Single lane only — batches belong on
+ops/pallas_riccati.py.
 
 Math matches altro_tpu.tvlqr.tvlqr_backward (== reference
 tvlqr.cpp:124-191), including the Cholesky failure contract (failed
@@ -60,28 +66,73 @@ from jax.experimental.pallas import tpu as pltpu
 
 from altro_tpu.tvlqr import TVLQRGains
 
-__all__ = ["riccati_backward_pallas_packed"]
+__all__ = ["riccati_backward_pallas_packed", "packed_supported"]
 
 SUB, LANE = 8, 128
 
-# Lane-field offsets inside the packed (8, 128) operand tile. All are
-# multiples of 8 so slices stay aligned.
-_A, _B, _AT, _BT = 0, 8, 16, 24
-_LXX, _LUU, _LUXT, _LX, _LU, _LUX, _F = 32, 40, 48, 56, 64, 72, 80
-_REG = 88  # terminal tile only: scalar reg at [0, _REG]
 
-# Output tile fields.
-_OK, _OD, _OP, _OPV = 0, 8, 16, 24
+def _groups(rows: int) -> int:
+    return -(-rows // SUB)
 
 
-def _mm(m1, m2, k):
-    """Row-major small matmul on packed blocks: (rows, k) @ (k, cols).
-    m1[:, j:j+1] lane-broadcasts, m2[j:j+1, :] sublane-broadcasts; each
-    term is one full-width VPU multiply(-add)."""
-    acc = m1[:, 0:1] * m2[0:1, :]
-    for j in range(1, k):
-        acc = acc + m1[:, j : j + 1] * m2[j : j + 1, :]
-    return acc
+def _field_offsets(n: int, m: int):
+    """Lane offsets of the packed operand fields. G = 1 keeps the
+    original 8-aligned layout; G > 1 packs tightly (alignment padding
+    would overflow the tile at n = 12)."""
+    G = _groups(n)
+    if G == 1:
+        offs = {"A": 0, "B": 8, "AT": 16, "BT": 24, "LXX": 32, "LUU": 40,
+                "LUXT": 48, "LX": 56, "LU": 64, "LUX": 72, "F": 80,
+                "REG": 88}
+        return offs, G, 96
+    widths = [("A", G * n), ("B", G * m), ("AT", G * n), ("BT", n),
+              ("LXX", G * n), ("LUU", m), ("LUXT", G * m), ("LUX", n),
+              ("LX", G), ("LU", 1), ("F", G), ("REG", 1)]
+    offs, cur = {}, 0
+    for k, w in widths:
+        offs[k] = cur
+        cur += w
+    return offs, G, cur
+
+
+def _out_offsets(n: int, G: int):
+    if G == 1:
+        return {"K": 0, "D": 8, "P": 16, "PV": 24}
+    return {"K": 0, "D": n, "P": n + 1, "PV": n + 1 + G * n}
+
+
+def packed_supported(n: int, m: int) -> bool:
+    """True when (n, m) blocks fit the packed single-tile layout."""
+    if m > SUB:
+        return False
+    _, _, used = _field_offsets(n, m)
+    return used <= LANE
+
+
+def _row_g(Ng, j):
+    """Row j of a row-grouped matrix (list of (8, C) blocks)."""
+    return Ng[j // SUB][j % SUB : j % SUB + 1, :]
+
+
+def _mm_g(Mg, Ng, k):
+    """Row-major grouped matmul: (R, k) @ (k, C) with both operands as
+    row-group lists. Each term is one full-width VPU multiply(-add):
+    M's column lane-broadcasts, N's row sublane-broadcasts."""
+    out = []
+    for g in range(len(Mg)):
+        acc = Mg[g][:, 0:1] * _row_g(Ng, 0)
+        for j in range(1, k):
+            acc = acc + Mg[g][:, j : j + 1] * _row_g(Ng, j)
+        out.append(acc)
+    return out
+
+
+def _gadd(Xg, Yg):
+    return [x + y for x, y in zip(Xg, Yg)]
+
+
+def _gsub(Xg, Yg):
+    return [x - y for x, y in zip(Xg, Yg)]
 
 
 def _row_onehot(i):
@@ -108,46 +159,54 @@ def _scalar(M, i, j):
     return jnp.sum(jnp.where(mask, M, 0.0), axis=(0, 1), keepdims=True)
 
 
-def _transpose_small(M, rows, cols):
-    """Entry-wise transpose of the live (rows, cols) corner of a packed
-    block via one-hot placement; at most 64 (1, 1) extracts + fmas —
-    cheap next to the surrounding matmuls."""
-    acc = jnp.zeros((SUB, rows), jnp.float32)
-    for i in range(rows):
-        for j in range(cols):
-            acc = acc + _scalar(M, i, j) * (
-                _row_onehot(j) * _lane_onehot(i, rows))
+def _transpose_g(Mg, R):
+    """Entry-wise transpose of a row-grouped (R, R) matrix via one-hot
+    placement; R^2 (1, 1) extracts + fmas — cheap next to the
+    surrounding matmuls at R <= 8, the dominant cost at R > 8 (so
+    symmetrize at n > 8 is supported but measured before use)."""
+    acc = [jnp.zeros((SUB, R), jnp.float32) for _ in range(len(Mg))]
+    for i in range(R):
+        for j in range(R):
+            v = _scalar(Mg[i // SUB], i % SUB, j)
+            acc[j // SUB] = acc[j // SUB] + v * (
+                _row_onehot(j % SUB) * _lane_onehot(i, R))
     return acc
 
 
-def _knot_body(n, m, symmetrize, with_f, reg, blk, Pn, pn):
+def _knot_body(n, m, G, offs, symmetrize, with_f, reg, blk, Png, png):
     """One Riccati step on a packed knot tile. Returns the per-knot
-    outputs and the updated carry."""
-    a = blk[:, _A : _A + n]           # (8, n); rows >= n are zero
-    b = blk[:, _B : _B + m]
-    at = blk[:, _AT : _AT + n]
-    bt = blk[:, _BT : _BT + n]        # B^T: rows 0..m-1
-    lxx = blk[:, _LXX : _LXX + n]
-    luu = blk[:, _LUU : _LUU + m]
-    luxt = blk[:, _LUXT : _LUXT + m]  # lux^T: (n, m)
-    lux = blk[:, _LUX : _LUX + n]     # (m, n)
-    lx = blk[:, _LX : _LX + 1]        # (n, 1)
-    lu = blk[:, _LU : _LU + 1]        # (m, 1)
+    outputs and the updated (grouped) carry."""
+
+    def fld(name, rows, cols):
+        off = offs[name]
+        return [blk[:, off + g * cols : off + (g + 1) * cols]
+                for g in range(_groups(rows))]
+
+    a = fld("A", n, n)                # grouped (n, n); pad rows are zero
+    b = fld("B", n, m)
+    at = fld("AT", n, n)
+    bt = fld("BT", m, n)              # (m, n): single group
+    lxx = fld("LXX", n, n)
+    luu = fld("LUU", m, m)
+    luxt = fld("LUXT", n, m)          # lux^T
+    lux = fld("LUX", m, n)
+    lxv = fld("LX", n, 1)
+    luv = fld("LU", m, 1)
 
     if with_f:
-        fv = blk[:, _F : _F + 1]
-        t = _mm(Pn, fv, n) + pn       # P⁺f + p⁺, (n, 1)
+        fv = fld("F", n, 1)
+        t = _gadd(_mm_g(Png, fv, n), png)   # P⁺f + p⁺, grouped (n, 1)
     else:
-        t = pn
+        t = png
 
-    PA = _mm(Pn, a, n)                # P⁺A, (n, n)
-    PB = _mm(Pn, b, n)                # P⁺B, (n, m)
-    Qxx = lxx + _mm(at, PA, n)
-    Quu = luu + _mm(bt, PB, n)        # (m, m)
-    Qux = lux + _mm(bt, PA, n)        # (m, n)
-    QuxT = luxt + _mm(at, PB, n)      # (n, m), P⁺ symmetric
-    Qx = lx + _mm(at, t, n)           # (n, 1)
-    Qu = lu + _mm(bt, t, n)           # (m, 1)
+    PA = _mm_g(Png, a, n)             # P⁺A, grouped (n, n)
+    PB = _mm_g(Png, b, n)             # P⁺B, grouped (n, m)
+    Qxx = _gadd(lxx, _mm_g(at, PA, n))
+    Quu = luu[0] + _mm_g(bt, PB, n)[0]        # (m, m)
+    Qux = lux[0] + _mm_g(bt, PA, n)[0]        # (m, n)
+    QuxT = _gadd(luxt, _mm_g(at, PB, n))      # (n, m), P⁺ symmetric
+    Qx = _gadd(lxv, _mm_g(at, t, n))          # grouped (n, 1)
+    Qu = luv[0] + _mm_g(bt, t, n)[0]          # (m, 1)
 
     # Unrolled Cholesky of Quu + reg I on replicated (1, 1) entries.
     e = _scalar
@@ -169,64 +228,72 @@ def _knot_body(n, m, symmetrize, with_f, reg, blk, Pn, pn):
     okb = ok > 0.5
 
     def subst(pieces):
-        """Solve (L L^T) X = rhs for a list of row-or-column pieces
-        (each indexed by the Quu row via list position)."""
-        y = list(pieces)
+        """Solve (L L^T) X = rhs; each RHS piece is a group list
+        (indexed by the Quu row via list position)."""
+        y = [list(p) for p in pieces]
         for i in range(m):
-            s = y[i]
             for kk in range(i):
-                s = s - L[i][kk] * y[kk]
-            y[i] = s / L[i][i]
+                y[i] = [yi - L[i][kk] * yk for yi, yk in zip(y[i], y[kk])]
+            y[i] = [yi / L[i][i] for yi in y[i]]
         for i in reversed(range(m)):
-            s = y[i]
             for kk in range(i + 1, m):
-                s = s - L[kk][i] * y[kk]
-            y[i] = s / L[i][i]
+                y[i] = [yi - L[kk][i] * yk for yi, yk in zip(y[i], y[kk])]
+            y[i] = [yi / L[i][i] for yi in y[i]]
         return y
 
-    Krows = subst([Qux[i : i + 1, :] for i in range(m)])
+    Krows = subst([[Qux[i : i + 1, :]] for i in range(m)])
     K = jnp.where(
-        okb, sum(_row_onehot(i) * Krows[i] for i in range(m)), 0.0)
-    drows = subst([-_scalar(Qu, i, 0) for i in range(m)])
+        okb, sum(_row_onehot(i) * Krows[i][0] for i in range(m)), 0.0)
+    drows = subst([[-_scalar(Qu, i, 0)] for i in range(m)])
     d = jnp.where(
-        okb, sum(_row_onehot(i) * drows[i] for i in range(m)), 0.0)
-    KTcols = subst([QuxT[:, i : i + 1] for i in range(m)])
-    KT = jnp.where(
-        okb, sum(KTcols[i] * _lane_onehot(i, m) for i in range(m)), 0.0)
+        okb, sum(_row_onehot(i) * drows[i][0] for i in range(m)), 0.0)
+    KTcols = subst([[Qg[:, i : i + 1] for Qg in QuxT] for i in range(m)])
+    KT = [jnp.where(
+        okb, sum(KTcols[i][g] * _lane_onehot(i, m) for i in range(m)), 0.0)
+        for g in range(G)]             # grouped (n, m)
 
     # Cost-to-go update, all row-major products.
-    QuuK = _mm(Quu, K, m)             # (m, n)
-    Pk = Qxx + _mm(KT, QuuK, m) - _mm(KT, Qux, m) - _mm(QuxT, K, m)
+    QuuK = _mm_g([Quu], [K], m)[0]     # (m, n)
+    Pk = _gsub(_gsub(_gadd(Qxx, _mm_g(KT, [QuuK], m)),
+                     _mm_g(KT, [Qux], m)),
+               _mm_g(QuxT, [K], m))
     if symmetrize:
-        Pk = 0.5 * (Pk + _transpose_small(Pk, n, n))
-    Quud = _mm(Quu, d, m)             # (m, 1)
-    pk = Qx - _mm(KT, Quud, m) - _mm(KT, Qu, m) + _mm(QuxT, d, m)
+        PkT = _transpose_g(Pk, n)
+        Pk = [0.5 * (p + pt) for p, pt in zip(Pk, PkT)]
+    Quud = _mm_g([Quu], [d], m)[0]     # (m, 1)
+    pk = _gadd(_gsub(_gsub(Qx, _mm_g(KT, [Quud], m)),
+                     _mm_g(KT, [Qu], m)),
+               _mm_g(QuxT, [d], m))
 
     dQu = jnp.sum(d * Qu, axis=0, keepdims=True)[:, 0:1]       # (1, 1)
     dQuud = 0.5 * jnp.sum(d * Quud, axis=0, keepdims=True)[:, 0:1]
     return K, d, Pk, pk, okb, ok, dQu, dQuud
 
 
-def _kernel(n, m, N, C, symmetrize, with_f, op_ref, term_ref,
+def _kernel(n, m, N, C, G, offs, oofs, symmetrize, with_f, op_ref, term_ref,
             out_ref, acc_ref, P_scr, p_scr, dv_scr, fl_scr):
     """One grid step = one chunk of C knots, processed backward. The
     operand/output stacks arrive knot-REVERSED (index i = knot N-1-i),
     so chunk s covers knots N-1-sC .. N-C-sC at inner offsets 0..C-1.
     Within a chunk the (P, p) carry stays in registers; scratch carries
-    it across grid steps."""
+    it across grid steps (P group g at lanes [g*n, (g+1)*n), p group g
+    at lane g)."""
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _init():
-        P_scr[:, :n] = term_ref[0, :, _LXX : _LXX + n]
-        p_scr[:, :] = term_ref[0, :, _LX : _LX + 1]
+        for g in range(G):
+            P_scr[:, g * n : (g + 1) * n] = term_ref[
+                0, :, offs["LXX"] + g * n : offs["LXX"] + (g + 1) * n]
+            p_scr[:, g : g + 1] = term_ref[
+                0, :, offs["LX"] + g : offs["LX"] + g + 1]
         dv_scr[:, :] = jnp.zeros((SUB, 2), jnp.float32)
         fl_scr[:, 0:1] = jnp.ones((SUB, 1), jnp.float32)
         fl_scr[:, 1:2] = jnp.full((SUB, 1), float(N), jnp.float32)
 
-    reg = _scalar(term_ref[0], 0, _REG)
-    Pn = P_scr[:, :n]
-    pn = p_scr[:, :]
+    reg = _scalar(term_ref[0], 0, offs["REG"])
+    Pn = [P_scr[:, g * n : (g + 1) * n] for g in range(G)]
+    pn = [p_scr[:, g : g + 1] for g in range(G)]
     dv0 = dv_scr[:, 0:1]
     dv1 = dv_scr[:, 1:2]
     ok_run = _scalar(fl_scr[:, :], 0, 0)
@@ -235,7 +302,7 @@ def _kernel(n, m, N, C, symmetrize, with_f, op_ref, term_ref,
     for c in range(C):
         blk = op_ref[0, c]
         K, d, Pk, pk, okb, ok, dQu, dQuud = _knot_body(
-            n, m, symmetrize, with_f, reg, blk, Pn, pn)
+            n, m, G, offs, symmetrize, with_f, reg, blk, Pn, pn)
         # smallest failing knot: backward order visits decreasing k, so
         # the last overwrite wins (== the min); N when no failure.
         k_f = (N - 1 - step * C - c).astype(jnp.float32)
@@ -243,14 +310,18 @@ def _kernel(n, m, N, C, symmetrize, with_f, op_ref, term_ref,
         fail = jnp.where(okb, fail, k_f)
         dv0 = dv0 + jnp.broadcast_to(dQu, (SUB, 1))
         dv1 = dv1 + jnp.broadcast_to(dQuud, (SUB, 1))
-        out_ref[0, c, :, _OK : _OK + n] = K
-        out_ref[0, c, :, _OD : _OD + 1] = d
-        out_ref[0, c, :, _OP : _OP + n] = Pk
-        out_ref[0, c, :, _OPV : _OPV + 1] = pk
+        out_ref[0, c, :, oofs["K"] : oofs["K"] + n] = K
+        out_ref[0, c, :, oofs["D"] : oofs["D"] + 1] = d
+        for g in range(G):
+            out_ref[0, c, :,
+                    oofs["P"] + g * n : oofs["P"] + (g + 1) * n] = Pk[g]
+            out_ref[0, c, :,
+                    oofs["PV"] + g : oofs["PV"] + g + 1] = pk[g]
         Pn, pn = Pk, pk
 
-    P_scr[:, :n] = Pn
-    p_scr[:, :] = pn
+    for g in range(G):
+        P_scr[:, g * n : (g + 1) * n] = Pn[g]
+        p_scr[:, g : g + 1] = pn[g]
     dv_scr[:, 0:1] = dv0
     dv_scr[:, 1:2] = dv1
     fl_scr[:, 0:1] = jnp.broadcast_to(ok_run, (SUB, 1))
@@ -262,36 +333,46 @@ def _kernel(n, m, N, C, symmetrize, with_f, op_ref, term_ref,
         acc_ref[:, 2:4] = fl_scr[:, :]
 
 
-def _pack_operands(A, B, f, lxx, luu, lux, lx, lu, reg):
+def _set_grouped(packed, off, M):
+    """Scatter a [N, R, C] stack into row-group lane fields."""
+    R, Cw = M.shape[1], M.shape[2]
+    for g in range(_groups(R)):
+        r0, r1 = g * SUB, min(R, (g + 1) * SUB)
+        packed = packed.at[:, : r1 - r0,
+                           off + g * Cw : off + g * Cw + Cw].set(M[:, r0:r1])
+    return packed
+
+
+def _pack_operands(A, B, f, lxx, luu, lux, lx, lu, reg, offs):
     """Pack per-knot operands into [N, 8, 128] lane-field tiles plus the
     [1, 8, 128] terminal/reg tile."""
     N, n, _ = A.shape
     m = B.shape[2]
     f32 = jnp.float32
     packed = jnp.zeros((N, SUB, LANE), f32)
-    packed = packed.at[:, :n, _A : _A + n].set(A.astype(f32))
-    packed = packed.at[:, :n, _B : _B + m].set(B.astype(f32))
-    packed = packed.at[:, :n, _AT : _AT + n].set(
-        jnp.swapaxes(A, 1, 2).astype(f32))
-    packed = packed.at[:, :m, _BT : _BT + n].set(
-        jnp.swapaxes(B, 1, 2).astype(f32))
+    packed = _set_grouped(packed, offs["A"], A.astype(f32))
+    packed = _set_grouped(packed, offs["B"], B.astype(f32))
+    packed = _set_grouped(packed, offs["AT"],
+                          jnp.swapaxes(A, 1, 2).astype(f32))
+    packed = _set_grouped(packed, offs["BT"],
+                          jnp.swapaxes(B, 1, 2).astype(f32))
     lxxd = lxx if lxx.ndim == 3 else jax.vmap(jnp.diag)(lxx)
     luud = luu if luu.ndim == 3 else jax.vmap(jnp.diag)(luu)
-    packed = packed.at[:, :n, _LXX : _LXX + n].set(lxxd[:N].astype(f32))
-    packed = packed.at[:, :m, _LUU : _LUU + m].set(luud.astype(f32))
+    packed = _set_grouped(packed, offs["LXX"], lxxd[:N].astype(f32))
+    packed = _set_grouped(packed, offs["LUU"], luud.astype(f32))
     if lux is not None:
-        packed = packed.at[:, :m, _LUX : _LUX + n].set(lux.astype(f32))
-        packed = packed.at[:, :n, _LUXT : _LUXT + m].set(
-            jnp.swapaxes(lux, 1, 2).astype(f32))
-    packed = packed.at[:, :n, _LX].set(lx[:N].astype(f32))
-    packed = packed.at[:, :m, _LU].set(lu.astype(f32))
+        packed = _set_grouped(packed, offs["LUX"], lux.astype(f32))
+        packed = _set_grouped(packed, offs["LUXT"],
+                              jnp.swapaxes(lux, 1, 2).astype(f32))
+    packed = _set_grouped(packed, offs["LX"], lx[:N, :, None].astype(f32))
+    packed = _set_grouped(packed, offs["LU"], lu[:, :, None].astype(f32))
     with_f = f is not None
     if with_f:
-        packed = packed.at[:, :n, _F].set(f.astype(f32))
+        packed = _set_grouped(packed, offs["F"], f[:, :, None].astype(f32))
     term = jnp.zeros((1, SUB, LANE), f32)
-    term = term.at[0, :n, _LXX : _LXX + n].set(lxxd[N].astype(f32))
-    term = term.at[0, :n, _LX].set(lx[N].astype(f32))
-    term = term.at[0, 0, _REG].set(jnp.asarray(reg, f32))
+    term = _set_grouped(term, offs["LXX"], lxxd[None, N].astype(f32))
+    term = _set_grouped(term, offs["LX"], lx[None, N, :, None].astype(f32))
+    term = term.at[0, 0, offs["REG"]].set(jnp.asarray(reg, f32))
     return packed, term, with_f
 
 
@@ -314,23 +395,28 @@ def riccati_backward_pallas_packed(A, B, lxx, luu, lx, lu, reg=0.0,
 
     Same contract as tvlqr.tvlqr_backward on unbatched operands
     (diagonal lxx/luu accepted and expanded at pack time). f32;
-    requires n <= 8, m <= 8. See the module docstring for the design.
+    requires packed_supported(n, m). See the module docstring.
     """
     N, n, _ = A.shape
     m = B.shape[2]
-    if n > SUB or m > SUB:
+    if not packed_supported(n, m):
         raise ValueError(
-            f"packed latency kernel supports n, m <= {SUB}; got n={n}, "
-            f"m={m} (use the batched kernel or the scan)")
+            f"packed latency kernel needs m <= {SUB} and the packed "
+            f"fields to fit {LANE} lanes; got n={n}, m={m} "
+            "(use the batched kernel or the scan)")
+    offs, G, _ = _field_offsets(n, m)
+    oofs = _out_offsets(n, G)
     C = _pick_chunk(N) if chunk is None else chunk
     if N % C != 0:
         raise ValueError(f"chunk {C} must divide N={N}")
     dtype = A.dtype
-    packed, term, with_f = _pack_operands(A, B, f, lxx, luu, lux, lx, lu, reg)
+    packed, term, with_f = _pack_operands(
+        A, B, f, lxx, luu, lux, lx, lu, reg, offs)
     # knot-reverse so chunk blocks stream contiguously in recursion order
     packed_rev = packed[::-1].reshape(N // C, C, SUB, LANE)
 
-    kern = functools.partial(_kernel, n, m, N, C, symmetrize, with_f)
+    kern = functools.partial(
+        _kernel, n, m, N, C, G, offs, oofs, symmetrize, with_f)
     out, acc = pl.pallas_call(
         kern,
         grid=(N // C,),
@@ -347,10 +433,10 @@ def riccati_backward_pallas_packed(A, B, lxx, luu, lx, lu, reg=0.0,
             jax.ShapeDtypeStruct((SUB, 4), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SUB, SUB), jnp.float32),   # P carry
-            pltpu.VMEM((SUB, 1), jnp.float32),     # p carry
-            pltpu.VMEM((SUB, 2), jnp.float32),     # delta_V accumulators
-            pltpu.VMEM((SUB, 2), jnp.float32),     # ok / fail_index
+            pltpu.VMEM((SUB, max(G * n, SUB)), jnp.float32),  # P carry
+            pltpu.VMEM((SUB, G), jnp.float32),        # p carry (grouped)
+            pltpu.VMEM((SUB, 2), jnp.float32),        # delta_V accumulators
+            pltpu.VMEM((SUB, 2), jnp.float32),        # ok / fail_index
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -358,13 +444,18 @@ def riccati_backward_pallas_packed(A, B, lxx, luu, lx, lu, reg=0.0,
     )(packed_rev, term)
 
     out = out.reshape(N, SUB, LANE)[::-1]
-    K = out[:, :m, _OK : _OK + n].astype(dtype)
-    d = out[:, :m, _OD].astype(dtype)
+    K = out[:, :m, oofs["K"] : oofs["K"] + n].astype(dtype)
+    d = out[:, :m, oofs["D"]].astype(dtype)
     lxxd = lxx if lxx.ndim == 3 else jax.vmap(jnp.diag)(lxx)
-    P = jnp.concatenate(
-        [out[:, :n, _OP : _OP + n], lxxd[None, -1]], axis=0).astype(dtype)
-    p = jnp.concatenate(
-        [out[:, :n, _OPV], lx[None, -1]], axis=0).astype(dtype)
+    P_rows = jnp.concatenate(
+        [out[:, : min(SUB, n - g * SUB),
+             oofs["P"] + g * n : oofs["P"] + (g + 1) * n]
+         for g in range(G)], axis=1)
+    p_rows = jnp.concatenate(
+        [out[:, : min(SUB, n - g * SUB), oofs["PV"] + g]
+         for g in range(G)], axis=1)
+    P = jnp.concatenate([P_rows, lxxd[None, -1]], axis=0).astype(dtype)
+    p = jnp.concatenate([p_rows, lx[None, -1]], axis=0).astype(dtype)
     delta_V = acc[0, 0:2].astype(dtype)
     ok = acc[0, 2] > 0.5
     fail_index = acc[0, 3].astype(jnp.int32)

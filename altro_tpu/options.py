@@ -154,7 +154,9 @@ class SolverOptions:
     # in-kernel re-symmetrization instead).
     pallas_backward: bool = False
     # Single-lane latency kernel (ops/pallas_packed.py): UNBATCHED solves
-    # on a TPU backend with f32 operands and n, m <= 8 run the whole
+    # on a TPU backend with f32 operands at supported block sizes
+    # (ops.pallas_packed.packed_supported — the whole repo zoo, incl.
+    # the quadrotor's n = 12 via row grouping) run the whole
     # Riccati backward as ONE packed Pallas program instead of an N-step
     # XLA scan of tiny ops (~10 us/knot op latency -> kernel latency;
     # docs/PERF.md N=500 attribution). DEFAULT ON: vmapped solves, CPU /

@@ -99,14 +99,26 @@ def test_failure_bookkeeping():
     np.testing.assert_allclose(out.P, np.asarray(ref.P), atol=2e-4)
 
 
-def test_rejects_large_blocks():
-    A = jnp.zeros((4, 12, 12), jnp.float32)
-    B = jnp.zeros((4, 12, 4), jnp.float32)
-    lxx = jnp.zeros((5, 12, 12), jnp.float32)
-    luu = jnp.zeros((4, 4, 4), jnp.float32)
-    lx = jnp.zeros((5, 12), jnp.float32)
-    lu = jnp.zeros((4, 4), jnp.float32)
-    with pytest.raises(ValueError, match="n, m <= 8"):
+def test_quadrotor_blocks_n12_m4():
+    # n = 12 exercises the two-row-group (G=2) path end to end
+    A, B, f, lxx, luu, lux, lx, lu = make_problem(N=20, n=12, m=4, seed=17)
+    ref = tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg=0.01,
+                         symmetrize=True)
+    out = riccati_backward_pallas_packed(
+        A, B, lxx, luu, lx, lu, reg=0.01, lux=lux, f=f, symmetrize=True,
+        interpret=True)
+    assert bool(ref.ok) and bool(out.ok)
+    assert_gains_close(out, ref)
+
+
+def test_rejects_oversize_blocks():
+    A = jnp.zeros((4, 20, 20), jnp.float32)
+    B = jnp.zeros((4, 20, 8), jnp.float32)
+    lxx = jnp.zeros((5, 20, 20), jnp.float32)
+    luu = jnp.zeros((4, 8, 8), jnp.float32)
+    lx = jnp.zeros((5, 20), jnp.float32)
+    lu = jnp.zeros((4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="packed"):
         riccati_backward_pallas_packed(A, B, lxx, luu, lx, lu, interpret=True)
 
 
