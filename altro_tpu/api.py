@@ -41,6 +41,8 @@ from altro_tpu.solver import (
     solve as _solve,
     total_cost,
 )
+from altro_tpu.options import Verbosity
+from altro_tpu.platform import supports_host_callbacks
 from altro_tpu.status import AltroError, ErrorCode, SolveStatus
 
 __all__ = ["ALTROSolver", "LAST_INDEX", "ALL_INDICES"]
@@ -641,6 +643,30 @@ class ALTROSolver:
                           self._state.z, self._state.rho)
         )
 
+    def _print_host_summary(self) -> None:
+        """Host-side post-solve summary for backends without host-callback
+        support (where the in-jit `jax.debug.print` verbosity tiers degrade
+        to no-ops — see altro_tpu.platform.debug_print). Prints the same
+        epilogue the reference prints (solver.cpp:507-509) plus the final
+        iterate stats, so `verbose > SILENT` is never silent."""
+        if self._opts.verbose <= Verbosity.SILENT or supports_host_callbacks():
+            return
+        s = self._stats
+        print(
+            "ALTRO SOLVE FINISHED! iterations = {}, status = {} "
+            "(host-side summary: backend lacks host callbacks)".format(
+                int(s.iterations), SolveStatus(int(s.status)).name
+            )
+        )
+        print(
+            "  objective = {:.6g}, merit = {:.6g}, stat = {:.4g}, "
+            "feas = {:.4g}, rho = {:.3g}, alpha = {:.4g}".format(
+                float(s.objective_value), float(s.merit_value),
+                float(s.stationarity), float(s.primal_feasibility),
+                float(s.rho), float(s.alpha),
+            )
+        )
+
     def solve(self) -> SolveStatus:
         self._require_init()
         if self._solve_fn is None:
@@ -654,6 +680,7 @@ class ALTROSolver:
         self._state = state
         self._stats = stats
         status = SolveStatus(int(stats.status))
+        self._print_host_summary()
         if self._opts.throw_errors and status not in (
             SolveStatus.SUCCESS, SolveStatus.MAX_ITERATIONS
         ):
@@ -680,9 +707,25 @@ class ALTROSolver:
         total_iters = 0
         t0 = time.perf_counter()
         status = SolveStatus.UNSOLVED
+        # ONE static options value for every chunk (a static-field flip
+        # between chunks would trigger a fresh jit inside the wall-clock
+        # budget being enforced): always run chunks with
+        # penalty_warm_start=True, and reproduce a cold start's penalty
+        # reset by seeding state.rho host-side so that
+        # clip(rho * decay, penalty_initial, penalty_max) == penalty_initial.
         opts_chunk = self._opts.replace(
-            iterations_max=chunk, max_solve_time=float("inf"), throw_errors=False
+            iterations_max=chunk, max_solve_time=float("inf"),
+            throw_errors=False, penalty_warm_start=True,
         )
+        if not self._opts.penalty_warm_start:
+            decay = self._opts.penalty_warm_start_decay
+            seed = self._opts.penalty_initial / decay if decay > 0 else (
+                self._opts.penalty_initial
+            )
+            self._state = dataclasses.replace(
+                self._state,
+                rho=jnp.full_like(self._state.rho, seed),
+            )
         while True:
             state, stats = self._solve_fn(self._problem, self._state, opts_chunk)
             stats = jax.block_until_ready(stats)
@@ -699,14 +742,17 @@ class ALTROSolver:
             if elapsed >= budget_s:
                 status = SolveStatus.MAX_SOLVE_TIME
                 break
-            # keep the escalated penalty across continuation chunks
-            opts_chunk = opts_chunk.replace(penalty_warm_start=True)
+            # continuation chunks reuse opts_chunk verbatim: the escalated
+            # penalty is carried through state.rho (penalty_warm_start=True
+            # above), so no static field changes and no recompile happens
+            # inside the budget
         self._solve_time_ms = (time.perf_counter() - t0) * 1e3
         self._stats = dataclasses.replace(
             self._stats,
             status=jnp.asarray(int(status), jnp.int32),
             iterations=jnp.asarray(total_iters, jnp.int32),
         )
+        self._print_host_summary()
         if self._opts.throw_errors and status not in (
             SolveStatus.SUCCESS, SolveStatus.MAX_ITERATIONS, SolveStatus.MAX_SOLVE_TIME
         ):

@@ -18,6 +18,7 @@ import numpy as np
 
 DEFAULT_PATHS = (
     os.path.join(os.path.dirname(__file__), "..", "..", "data", "scotty.json"),
+    os.path.join(os.path.dirname(__file__), "..", "..", "data", "scotty.npz"),
     "/root/reference/test/scotty.json",
 )
 
@@ -37,9 +38,15 @@ def load_scotty(path: str | None = None) -> ReferenceTrajectory:
                 path = cand
                 break
     if path is None or not os.path.exists(path):
-        raise FileNotFoundError("scotty.json not found; use synthetic_scotty()")
-    with open(path) as f:
-        data = json.load(f)
+        raise FileNotFoundError("scotty fixture not found; use synthetic_scotty()")
+    if path.endswith(".npz"):
+        # vendored binary form (scripts/vendor_scotty.py): same fields
+        # as the reference JSON, committed under data/ so the strict
+        # oracles run without the reference tree
+        data = dict(np.load(path))
+    else:
+        with open(path) as f:
+            data = json.load(f)
     N = int(data["N"]) - 1
     tf = float(data["tf"])
     x = np.asarray(data["state_trajectory"], dtype=np.float64)

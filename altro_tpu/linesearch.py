@@ -21,6 +21,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from altro_tpu.platform import debug_print
 from altro_tpu.status import LineSearchCode
 
 __all__ = [
@@ -504,7 +505,7 @@ def wolfe_line_search(
         phi_t = jnp.asarray(phi_t, dtype)
         dphi_t = jnp.asarray(dphi_t, dtype)
         if opts.verbose:  # linesearch.cpp:70-73 trial trace
-            jax.debug.print(
+            debug_print(
                 "    ls trial {i}: alpha = {a:.6}, phi = {p:.8}, dphi = {d:.6}",
                 i=s.n_iters, a=s.alpha_next, p=phi_t, d=dphi_t,
             )
@@ -518,7 +519,7 @@ def wolfe_line_search(
         )
 
     if opts.verbose:  # linesearch.cpp:70-73 start banner
-        jax.debug.print(
+        debug_print(
             "  Starting Cubic Line Search with phi0 = {p0:.8}, dphi0 = {d0:.6}",
             p0=phi0, d0=dphi0,
         )
@@ -610,7 +611,7 @@ def parallel_backtracking_search(
             opts.armijo_slack, dtype
         ) * jnp.abs(phi0)
         if opts.verbose:  # batched analog of the per-trial trace
-            jax.debug.print(
+            debug_print(
                 "    ls grid block {b}: alphas = {a}, phis = {p} (phi0 = {p0:.8})",
                 b=block, a=alphas, p=phis, p0=phi0,
             )
@@ -737,7 +738,7 @@ def parallel_backtracking_search_split(
     phis0, lights0 = jax.vmap(eval_one)(alphas0)
     armijo0 = armijo_mask(alphas0, phis0)
     if opts.verbose:  # batched analog of the per-trial trace
-        jax.debug.print(
+        debug_print(
             "    ls grid block 0: alphas = {a}, phis = {p} (phi0 = {p0:.8})",
             a=alphas0, p=phis0, p0=phi0,
         )
@@ -777,7 +778,7 @@ def parallel_backtracking_search_split(
             phis, lights = jax.vmap(eval_one)(alphas)
             passes = armijo_mask(alphas, phis)
             if opts.verbose:
-                jax.debug.print(
+                debug_print(
                     "    ls grid block {b}: alphas = {a}, phis = {p}",
                     b=block, a=alphas, p=phis,
                 )

@@ -42,6 +42,7 @@ from altro_tpu.linesearch import (
 )
 from altro_tpu.options import SolverOptions, Verbosity
 from altro_tpu.problem import Problem
+from altro_tpu.platform import debug_callback, debug_print
 from altro_tpu.status import LineSearchCode, SolveStatus
 from altro_tpu.tvlqr import TVLQRGains, tvlqr_backward, tvlqr_backward_associative
 
@@ -742,7 +743,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
     A0, B0 = dynamics_expansions(problem, x_init, state.u)
 
     if opts.verbose > Verbosity.SILENT:  # solver.cpp:438-441
-        jax.debug.print(
+        debug_print(
             "STARTING ALTRO iLQR SOLVE....\n  Initial Cost: {c}",
             c=al_total_cost(problem, x_init, state.u, state.z, rho0),
         )
@@ -976,11 +977,11 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         stop = jnp.logical_or(converged, jnp.logical_or(ls_failed, bp_failed))
 
         if opts.iteration_callback is not None:
-            jax.debug.callback(
+            debug_callback(
                 opts.iteration_callback, c.iter, m.phi, stat, feas, alpha, c.rho
             )
         if opts.verbose >= Verbosity.INNER:
-            jax.debug.print(
+            debug_print(
                 "  iter = {i}, phi = {p0:.6} -> {p:.6}, dphi = {d0:.4} -> {d:.4}, "
                 "alpha = {a:.4}, ls_iter = {li}, stat = {s:.4}, feas = {f:.4}, "
                 "rho = {r:.3}, dual update? {du}",
@@ -994,7 +995,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             # prints the same line there, solver.cpp:492-499)
             jax.lax.cond(
                 do_dual,
-                lambda: jax.debug.print(
+                lambda: debug_print(
                     "  outer: iter = {i}, phi = {p:.6}, stat = {s:.4}, "
                     "feas = {f:.4}, rho = {r:.3} -> {rn:.3}",
                     i=c.iter, p=m.phi, s=stat, f=feas, r=c.rho, rn=rho_new,
@@ -1030,7 +1031,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
     final = jax.lax.while_loop(cond, body, init)
 
     if opts.verbose > Verbosity.SILENT:  # solver.cpp:507-509
-        jax.debug.print(
+        debug_print(
             "ALTRO SOLVE FINISHED! iterations = {i}, status = {s}",
             i=final.iter, s=final.status,
         )

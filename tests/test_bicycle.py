@@ -163,10 +163,21 @@ def test_scotty_mpc_closed_loop():
     # cross-implementation oracle in the suite: 200 warm-started
     # constrained resolves reproducing the C++ solver's exact iteration
     # trace end-to-end.
-    art_path = "/root/reference/test/scotty_mpc.json"
-    if os.path.exists(art_path):
-        with open(art_path) as fh:
-            art = json.load(fh)
+    art = None
+    vendored = os.path.join(
+        os.path.dirname(__file__), "..", "data", "scotty_mpc.npz"
+    )
+    if os.path.exists(vendored):
+        # in-repo vendored artifact (scripts/vendor_scotty.py) — the
+        # strict branch no longer depends on the reference tree
+        art = {k: v.tolist() if v.ndim else v.item()
+               for k, v in np.load(vendored).items()}
+    else:
+        ref_path = "/root/reference/test/scotty_mpc.json"
+        if os.path.exists(ref_path):
+            with open(ref_path) as fh:
+                art = json.load(fh)
+    if art is not None:
         assert iters.tolist() == art["solve_iters"], (
             "per-resolve iteration trace diverged from the reference artifact"
         )
@@ -177,3 +188,27 @@ def test_scotty_mpc_closed_loop():
         assert np.median(iters) <= 2
         assert errs.mean() < 0.7
         assert errs[0] < 5e-3
+
+
+def test_vendored_scotty_matches_reference():
+    """Cross-check: the vendored data/*.npz fixtures must be numerically
+    identical to the reference JSONs when the reference tree is mounted
+    (scripts/vendor_scotty.py provenance guard)."""
+    here = os.path.dirname(__file__)
+    checked = 0
+    for name in ("scotty", "scotty_mpc"):
+        ref_path = f"/root/reference/test/{name}.json"
+        npz_path = os.path.join(here, "..", "data", f"{name}.npz")
+        if not (os.path.exists(ref_path) and os.path.exists(npz_path)):
+            continue
+        with open(ref_path) as fh:
+            ref = json.load(fh)
+        vend = np.load(npz_path)
+        assert sorted(vend.files) == sorted(ref.keys())
+        for k in ref:
+            np.testing.assert_array_equal(
+                vend[k], np.asarray(ref[k]), err_msg=f"{name}.npz[{k}]"
+            )
+        checked += 1
+    if checked == 0:
+        pytest.skip("reference tree not mounted; nothing to cross-check")
