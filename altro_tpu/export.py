@@ -126,6 +126,25 @@ def export_mpc_server(
         # scan path for any non-TPU target platform (TPU-only artifacts —
         # e.g. the B=1 latency config — keep the packed kernel).
         opts = dataclasses.replace(opts, pallas_latency_backward=False)
+    elif opts.pallas_latency_backward:
+        # TPU-only artifact: the latency kernel's dispatch is decided at
+        # TRACE time from the process default backend, so exporting from
+        # a CPU-backed host silently bakes the scan path into an
+        # artifact whose platforms=('tpu',) promises the kernel. Surface
+        # that instead of letting it pass silently (ADVICE r3).
+        from altro_tpu.ops.packed_backward import _on_tpu
+
+        if not _on_tpu():
+            import warnings
+
+            warnings.warn(
+                "export_mpc_server(platforms=('tpu',)): tracing on a "
+                "non-TPU process — the packed latency kernel will NOT be "
+                "in the artifact (trace-time dispatch falls back to the "
+                "scan). Export from a TPU-backed process to keep it.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     fn = jax.jit(make_serving_fn(problem, opts, batch))
     args = _example_args(problem, batch)
     return jax_export.export(fn, platforms=plats)(*args)

@@ -41,6 +41,11 @@ _FORCE_INTERPRET = False
 def _on_tpu() -> bool:
     default_dev = getattr(jax.config, "jax_default_device", None)
     if default_dev is not None:
+        if isinstance(default_dev, str):
+            # jax_default_device accepts platform strings ("tpu",
+            # "tpu:0"); getattr(str, "platform") would be None and
+            # wrongly disable the kernel
+            return default_dev.split(":")[0] == "tpu"
         return getattr(default_dev, "platform", None) == "tpu"
     return jax.default_backend() == "tpu"
 

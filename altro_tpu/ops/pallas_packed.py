@@ -216,7 +216,11 @@ def _knot_body(n, m, G, offs, symmetrize, with_f, reg, blk, Png, png):
         diag = e(Quu, j, j) + reg
         for kk in range(j):
             diag = diag - L[j][kk] * L[j][kk]
-        ok = ok * (diag > 0.0).astype(jnp.float32)
+        # mirror the scan's _chol_unrolled check: positive AND finite.
+        # An f32 overflow to +inf in Quu passes a bare (diag > 0) and
+        # would mark a NaN-contaminated knot ok; jnp.isfinite doesn't
+        # lower in Mosaic, so bound from above instead (3e38 < f32 max).
+        ok = ok * ((diag > 0.0) & (diag < 3e38)).astype(jnp.float32)
         ljj = jnp.sqrt(jnp.maximum(diag, 1e-30))
         L[j][j] = ljj
         inv = 1.0 / ljj

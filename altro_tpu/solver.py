@@ -633,8 +633,12 @@ def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
             return tvlqr_backward_associative(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
     elif opts.pallas_latency_backward:
         # Single-lane packed kernel when this trace is unbatched on TPU
-        # (f32, n/m <= 8); the custom_vmap fallback is exactly the scan
-        # below, so this branch never changes semantics — only latency.
+        # (f32 at block sizes packed_supported accepts: m <= 8 and the
+        # row-grouped fields fit one 128-lane tile — covers the whole
+        # model zoo incl. the quadrotor's n=12/m=4, on-device-tested in
+        # tests/tpu/test_on_device.py); the custom_vmap fallback is
+        # exactly the scan below, so this branch never changes semantics
+        # — only latency.
         from altro_tpu.ops.packed_backward import tvlqr_backward_latency
 
         def attempt(reg):

@@ -71,3 +71,29 @@ def test_dist_tarball_builds_and_demo_runs(tmp_path):
     assert run.returncode == 0, run.stderr
     # The demo prints the TVLQR solve timing + terminal state.
     assert "us/solve" in run.stdout and "xN" in run.stdout, run.stdout
+
+
+def test_mcu_constrained_build_with_size_report(tmp_path):
+    """MCU-constrained flag-set proof (round-3 VERDICT item 9): the
+    static library must build size-optimized with no exceptions, no
+    RTTI, no thread-safe statics and no host tuning — the flag set
+    embedded toolchains impose — and the allocation-free TVLQR kernel
+    must additionally compile -ffreestanding. The size report pins the
+    footprint (BASELINE.md records it; reference Arduino install:
+    install/AltroArduinoInstall.cmake)."""
+    shutil.copytree(NATIVE, tmp_path / "native",
+                    ignore=shutil.ignore_patterns("build"))
+    r = _make(["mcu-check"], cwd=tmp_path / "native")
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "native" / "build" / "mcu" / "libaltro_native_mcu.a").exists()
+    # parse the `size` report: text sections must stay MCU-small
+    sizes = {}
+    for line in r.stdout.splitlines():
+        parts = line.split()
+        if len(parts) == 6 and parts[0].isdigit():
+            sizes[pathlib.Path(parts[5]).name] = int(parts[0])
+    assert "altro_native.o" in sizes and "altro_solver_native.o" in sizes, r.stdout
+    # generous ceilings: a Teensy 4.x has 2 MB flash; the whole engine
+    # must stay well under 128 KiB of code
+    assert sizes["altro_native.o"] < 32 * 1024, sizes
+    assert sizes["altro_solver_native.o"] < 96 * 1024, sizes

@@ -291,26 +291,35 @@ def test_tiled_solve_quadrotor_parity_on_device():
     assert agree > 0.99, f"iterations agreement {agree}"
 
 
-def test_packed_latency_kernel_parity_on_device():
+@pytest.mark.parametrize("nl,ml", [(4, 2), (12, 4)])
+def test_packed_latency_kernel_parity_on_device(nl, ml):
     """Single-lane packed latency kernel (ops/pallas_packed.py) compiled
-    on the real device matches the scan at N=120 (chunked grid)."""
+    on the real device matches the scan at N=120 (chunked grid). The
+    (12, 4) case exercises the G=2 row-group layout (quadrotor-class
+    blocks) — the tightly-packed unaligned lane layout the module
+    docstring flags as Mosaic-fragile, previously validated only in
+    interpreter mode (ADVICE r3)."""
     import jax
     import jax.numpy as jnp
 
-    from altro_tpu.ops.pallas_packed import riccati_backward_pallas_packed
+    from altro_tpu.ops.pallas_packed import (
+        packed_supported,
+        riccati_backward_pallas_packed,
+    )
     from altro_tpu.tvlqr import tvlqr_backward
 
+    assert packed_supported(nl, ml)
     Nl = 120
     rng = np.random.default_rng(3)
     A = jnp.asarray(
-        np.tile(np.eye(n), (Nl, 1, 1)) + 0.02 * rng.standard_normal((Nl, n, n)),
+        np.tile(np.eye(nl), (Nl, 1, 1)) + 0.02 * rng.standard_normal((Nl, nl, nl)),
         jnp.float32)
-    Bm = jnp.asarray(0.2 * rng.standard_normal((Nl, n, m)), jnp.float32)
-    fz = jnp.zeros((Nl, n), jnp.float32)
-    lxx = jnp.asarray(np.tile(np.eye(n) * 0.01, (Nl + 1, 1, 1)), jnp.float32)
-    luu = jnp.asarray(np.tile(np.eye(m) * 0.001, (Nl, 1, 1)), jnp.float32)
-    lx = jnp.asarray(0.1 * rng.standard_normal((Nl + 1, n)), jnp.float32)
-    lu = jnp.asarray(0.01 * rng.standard_normal((Nl, m)), jnp.float32)
+    Bm = jnp.asarray(0.2 * rng.standard_normal((Nl, nl, ml)), jnp.float32)
+    fz = jnp.zeros((Nl, nl), jnp.float32)
+    lxx = jnp.asarray(np.tile(np.eye(nl) * 0.01, (Nl + 1, 1, 1)), jnp.float32)
+    luu = jnp.asarray(np.tile(np.eye(ml) * 0.001, (Nl, 1, 1)), jnp.float32)
+    lx = jnp.asarray(0.1 * rng.standard_normal((Nl + 1, nl)), jnp.float32)
+    lu = jnp.asarray(0.01 * rng.standard_normal((Nl, ml)), jnp.float32)
 
     ref = tvlqr_backward(A, Bm, fz, lxx, luu, None, lx, lu, reg=0.0,
                          symmetrize=True)
