@@ -678,6 +678,7 @@ def parallel_backtracking_search_split(
     width: int = 8,
     armijo_only: bool = False,
     reconstruct: Optional[Callable] = None,
+    merit_grid: Optional[Callable] = None,
 ) -> LineSearchResult:
     """Phase-split variant of `parallel_backtracking_search`.
 
@@ -711,6 +712,12 @@ def parallel_backtracking_search_split(
     selection. The grid then materializes width x [N+1, n] states instead
     of width x the full (x, u, y, convals, zproj) stacks — everything but
     phi and x is a per-knot pure function of the state trajectory.
+
+    merit_grid (optional): a whole-grid evaluator
+    `merit_grid(alphas[width]) -> (phis[width], carriers)` used instead
+    of `vmap(merit_value)` — the hook for the packed trial-rollout
+    Pallas kernel (ops/pallas_rollout.py), which evaluates all width
+    trials in ONE kernel program with the trials riding the sublanes.
     """
     dtype = jnp.asarray(phi0).dtype
     if not jnp.issubdtype(dtype, jnp.floating):
@@ -728,6 +735,13 @@ def parallel_backtracking_search_split(
         phi_t, light = merit_value(a)
         return jnp.asarray(phi_t, dtype), light
 
+    if merit_grid is None:
+        eval_grid = lambda alphas: jax.vmap(eval_one)(alphas)
+    else:
+        def eval_grid(alphas):
+            phis, lights = merit_grid(alphas)
+            return jnp.asarray(phis, dtype), lights
+
     def armijo_mask(alphas, phis):
         return phis <= phi0 + c1 * alphas * dphi0 + slack * jnp.abs(phi0)
 
@@ -735,7 +749,7 @@ def parallel_backtracking_search_split(
     # (unless armijo_only, which skips that completion entirely)
     ks0 = jnp.arange(width)
     alphas0 = alpha0 * beta ** ks0.astype(dtype)
-    phis0, lights0 = jax.vmap(eval_one)(alphas0)
+    phis0, lights0 = eval_grid(alphas0)
     armijo0 = armijo_mask(alphas0, phis0)
     if opts.verbose:  # batched analog of the per-trial trace
         debug_print(
@@ -775,7 +789,7 @@ def parallel_backtracking_search_split(
             block = c[1]
             ks = block * width + jnp.arange(width)
             alphas = alpha0 * beta ** ks.astype(dtype)
-            phis, lights = jax.vmap(eval_one)(alphas)
+            phis, lights = eval_grid(alphas)
             passes = armijo_mask(alphas, phis)
             if opts.verbose:
                 debug_print(

@@ -79,6 +79,17 @@ class SolverOptions:
     ls_try_cubic_first: bool = True
     ls_c1: float = 1e-4  # Armijo sufficient-decrease
     ls_c2: float = 0.9  # strong-Wolfe curvature
+    # Line-search failure RECOVERY: instead of aborting the solve when no
+    # trial step passes (the reference's behavior, solver.cpp:264-268 —
+    # which it never exercises: its f64 merit comparisons don't hit the
+    # roundoff non-descent our f32 warm-started lanes do at stiff ticks,
+    # docs/PERF.md), keep iterating with the alpha = 0 payload and a
+    # geometrically escalated regularization for the next backward pass
+    # (the classic iLQR forward-pass-failure response). A lane that never
+    # recovers within iterations_max still reports LINE_SEARCH_FAILED;
+    # one that recovers and converges reports SUCCESS. Off by default to
+    # preserve reference abort semantics; the bench enables it.
+    ls_failure_recovery: bool = False
     # Evaluate the whole backtracking trial grid {1, b, b^2, ...} in ONE
     # batched merit evaluation and select the first passing step, instead
     # of sequential trials (requires use_backtracking_linesearch). Under
@@ -130,12 +141,31 @@ class SolverOptions:
 
     # TPU execution strategy
     parallel_riccati: bool = False  # lax.associative_scan backward pass
+    # Two-level span cap for parallel_riccati: 0 = pure associative
+    # suffix scan (O(log N) depth; f64-recommended at long horizons),
+    # L > 0 = parallel within chunks of L knots + a serial composition
+    # across the N/L chunk-condensed elements (depth N/L + log2 L).
+    # Capping the span keeps every (I + C J)^-1 composition
+    # well-conditioned, which is what makes the parallel backward
+    # f32-usable at long horizons (accuracy ladder:
+    # tests/test_parallel_riccati.py; docs/PERF.md round 4).
+    parallel_riccati_chunk: int = 0
     # Grid line-search trials carry only (phi, state trajectory); the
     # accepted trial's payload (u, y, convals, zproj) is rebuilt
     # knot-parallel after selection instead of being materialized for
     # every trial (width x fewer stacked outputs; identical values).
     # Requires ls_phase_split.
     ls_grid_x_only: bool = True
+    # Packed trial-rollout Pallas kernel (ops/pallas_rollout.py): when
+    # the problem supplies a tile-form dynamics step
+    # (Problem.dynamics_tile, models/tile_steps.py protocol) and is
+    # unconstrained with a DiagonalCost, single-lane TPU f32 solves run
+    # the whole ls_grid_x_only trial grid inside ONE Pallas program
+    # (trials ride the sublanes) — the remaining sequential chain of a
+    # long-horizon solve after the packed backward kernel (docs/PERF.md
+    # round 4). DEFAULT ON: without dynamics_tile, or for constrained /
+    # CPU / f64 / batched traces, the scan grid runs as before.
+    pallas_rollout: bool = True
     # Batch-fused Pallas backward pass: when the solve is vmapped over a
     # batch that is a multiple of 1024 f32 lanes on TPU, run the whole
     # Riccati recursion as ONE Pallas kernel over (8, 128) lane tiles
@@ -160,7 +190,8 @@ class SolverOptions:
     # Riccati backward as ONE packed Pallas program instead of an N-step
     # XLA scan of tiny ops (~10 us/knot op latency -> kernel latency;
     # docs/PERF.md N=500 attribution). DEFAULT ON: vmapped solves, CPU /
-    # f64 traces, and big blocks (quadrotor n=12) fall back to the scan
+    # f64 traces, and blocks past packed_supported (m > 8, or fields
+    # overflowing one 128-lane tile) fall back to the scan
     # automatically, so the flag only changes who executes the same
     # recursion (parity ~3e-7, tests/test_pallas_packed.py). Compatible
     # with symmetrize_ctg (in-kernel) and diag_expansion (packed

@@ -300,6 +300,14 @@ class Problem:
     A: Optional[jnp.ndarray] = None
     B: Optional[jnp.ndarray] = None
     f_aff: Optional[jnp.ndarray] = None
+    # Opt-in tile-form dynamics step for the packed trial-rollout Pallas
+    # kernel (models/tile_steps.py protocol): step(x[S, n], u[S, m],
+    # h[S, 1]) -> x_next[S, n], row-wise equal to
+    # `dynamics(x, u, h, k)` for every k. When set (and the problem is
+    # unconstrained with a DiagonalCost), single-lane TPU f32 solves run
+    # the line-search trial grid inside one Pallas program
+    # (ops/pallas_rollout.py) instead of W sequential-scan rollouts.
+    dynamics_tile: Optional[Callable[..., jnp.ndarray]] = None
 
     @property
     def linear_dynamics(self) -> bool:
@@ -342,5 +350,5 @@ class Problem:
 _register(
     Problem,
     ["cost", "h", "x0", "A", "B", "f_aff", "constraints"],
-    ["N", "n", "m", "dynamics", "dynamics_jac"],
+    ["N", "n", "m", "dynamics", "dynamics_jac", "dynamics_tile"],
 )

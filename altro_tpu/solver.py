@@ -41,7 +41,7 @@ from altro_tpu.linesearch import (
     wolfe_line_search,
 )
 from altro_tpu.options import SolverOptions, Verbosity
-from altro_tpu.problem import Problem
+from altro_tpu.problem import DiagonalCost, Problem
 from altro_tpu.platform import debug_callback, debug_print
 from altro_tpu.status import LineSearchCode, SolveStatus
 from altro_tpu.tvlqr import TVLQRGains, tvlqr_backward, tvlqr_backward_associative
@@ -630,7 +630,10 @@ def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
             return tvlqr_backward_fused(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
     elif opts.parallel_riccati:
         def attempt(reg):
-            return tvlqr_backward_associative(A, B, f_zero, lxx, luu, lux, lx, lu, reg)
+            return tvlqr_backward_associative(
+                A, B, f_zero, lxx, luu, lux, lx, lu, reg,
+                chunk=opts.parallel_riccati_chunk or None,
+            )
     elif opts.pallas_latency_backward:
         # Single-lane packed kernel when this trace is unbatched on TPU
         # (f32 at block sizes packed_supported accepts: m <= 8 and the
@@ -866,7 +869,36 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                                 problem, phi, xstack, c.x, c.u, gains.K,
                                 gains.d, gains.P, gains.p, c.z, c.rho, alpha,
                             )
+
+                        # Packed trial-rollout kernel (opt-in through
+                        # Problem.dynamics_tile): the whole grid in ONE
+                        # Pallas program, trials on sublanes. Same
+                        # (phi, xstack) carrier as merit_light, so the
+                        # reconstruct path is shared; non-TPU/f64/
+                        # batched traces fall back inside the callable.
+                        merit_grid = None
+                        if (
+                            opts.pallas_rollout
+                            and problem.dynamics_tile is not None
+                            and not problem.constraints
+                            and isinstance(problem.cost, DiagonalCost)
+                        ):
+                            from altro_tpu.ops.pallas_rollout import (
+                                make_trial_grid_rollout,
+                            )
+
+                            _grid = make_trial_grid_rollout(
+                                problem.dynamics_tile)
+                            _cost = problem.cost
+
+                            def merit_grid(alphas, c=c, gains=gains):
+                                return _grid(
+                                    alphas, problem.x0, c.x, c.u,
+                                    gains.K, gains.d, _cost.Q, _cost.q,
+                                    _cost.R, _cost.r, _cost.c, problem.h,
+                                )
                     else:
+                        merit_grid = None
 
                         def merit_light(alpha):
                             out = merit_rollout_light(
@@ -887,6 +919,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                         width=opts.ls_parallel_width,
                         armijo_only=opts.ls_armijo_only,
                         reconstruct=reconstruct,
+                        merit_grid=merit_grid,
                     )
                 else:
                     ls = parallel_backtracking_search(
@@ -978,7 +1011,39 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                 jnp.where(bp_failed, int(SolveStatus.BACKWARD_PASS_FAILED), c.status),
             ),
         ).astype(jnp.int32)
-        stop = jnp.logical_or(converged, jnp.logical_or(ls_failed, bp_failed))
+        if opts.ls_failure_recovery:
+            # Don't abort on a failed line search: carry the alpha = 0
+            # payload (m already falls back to it), escalate reg for the
+            # next backward, and let the dual/penalty machinery reshape
+            # the merit landscape. Status semantics: LINE_SEARCH_FAILED
+            # sticks only while failing; a later passing step clears it
+            # back to UNSOLVED (so an unconverged-but-recovered lane ends
+            # MAX_ITERATIONS, not LINE_SEARCH_FAILED).
+            reg_cap = opts.reg_min * opts.reg_scaling ** opts.reg_max_retries
+            reg_used = jnp.where(
+                ls_failed,
+                jnp.minimum(
+                    jnp.where(reg_used <= 0, opts.reg_min,
+                              reg_used * opts.reg_scaling),
+                    reg_cap,
+                ),
+                reg_used,
+            )
+            status = jnp.where(
+                jnp.logical_and(
+                    jnp.logical_not(ls_failed),
+                    jnp.logical_and(
+                        jnp.logical_not(converged),
+                        c.status == int(SolveStatus.LINE_SEARCH_FAILED),
+                    ),
+                ),
+                int(SolveStatus.UNSOLVED),
+                status,
+            ).astype(jnp.int32)
+            stop = jnp.logical_or(converged, bp_failed)
+        else:
+            stop = jnp.logical_or(
+                converged, jnp.logical_or(ls_failed, bp_failed))
 
         if opts.iteration_callback is not None:
             debug_callback(

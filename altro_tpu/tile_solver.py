@@ -508,7 +508,36 @@ def solve_tiled(
                 ),
             ),
         ).astype(jnp.int32)
-        stop = jnp.logical_or(converged, jnp.logical_or(ls_failed, bp_failed))
+        if opts.ls_failure_recovery:
+            # mirror solver.py's recovery semantics exactly (the
+            # vmap-parity contract, tests/test_tile_solver.py): no abort
+            # on ls failure, escalated reg for the next backward, sticky
+            # LINE_SEARCH_FAILED cleared by a later passing step.
+            reg_cap = opts.reg_min * opts.reg_scaling ** opts.reg_max_retries
+            reg_used = jnp.where(
+                ls_failed,
+                jnp.minimum(
+                    jnp.where(reg_used <= 0, opts.reg_min,
+                              reg_used * opts.reg_scaling),
+                    reg_cap,
+                ),
+                reg_used,
+            )
+            status = jnp.where(
+                jnp.logical_and(
+                    jnp.logical_not(ls_failed),
+                    jnp.logical_and(
+                        jnp.logical_not(converged),
+                        c.status == int(SolveStatus.LINE_SEARCH_FAILED),
+                    ),
+                ),
+                int(SolveStatus.UNSOLVED),
+                status,
+            ).astype(jnp.int32)
+            stop = jnp.logical_or(converged, bp_failed)
+        else:
+            stop = jnp.logical_or(
+                converged, jnp.logical_or(ls_failed, bp_failed))
 
         new = _CarryT(
             x=x_m, u=u_m, y=y_m, z=z_new, rho=rho_new,

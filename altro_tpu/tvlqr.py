@@ -241,12 +241,85 @@ def _combine_value_elements(a, b):
     return A, b_out, C, eta, J
 
 
-def tvlqr_backward_associative(A, B, f, lxx, luu, lux, lx, lu, reg=0.0) -> TVLQRGains:
+def _identity_elements(count, n, dtype):
+    """Composition-identity value elements (A=I, b=0, C=0, eta=0, J=0):
+    combine(x, id) == combine(id, x) == x (checked in test_parallel_riccati)."""
+    return (
+        jnp.broadcast_to(jnp.eye(n, dtype=dtype), (count, n, n)),
+        jnp.zeros((count, n), dtype),
+        jnp.zeros((count, n, n), dtype),
+        jnp.zeros((count, n), dtype),
+        jnp.zeros((count, n, n), dtype),
+    )
+
+
+def _two_level_suffix(elems, T, n, dtype, L):
+    """Two-level suffix reduction of value elements: parallel suffix scan
+    WITHIN chunks of length L + a serial composition across the T/L
+    chunk-condensed elements.
+
+    Motivation (f32 accuracy, round-3 VERDICT item 2): the pure
+    associative scan materializes conditional-value elements spanning up
+    to the whole horizon, and the (I + C J)^-1 factors of long-span
+    elements are exactly the ill-conditioned objects that blew up the
+    f32 N=500 solve (objective 1692 vs serial 636, docs/PERF.md). Here
+    no element ever spans more than L stages: the cross-chunk carry is a
+    genuine value function (the terminal element's A=0 collapses the
+    conditional form), so each serial step is a condensed Riccati step —
+    the numerically forgiving form — while the within-chunk work stays
+    parallel. Sequential depth: T/L + log2(L) instead of T (serial) or
+    log2(T) (pure associative).
+    """
+    S = -(-T // L)
+    pad = S * L - T
+    if pad:
+        ids = _identity_elements(pad, n, dtype)
+        elems = tuple(
+            jnp.concatenate([e, i], axis=0) for e, i in zip(elems, ids)
+        )
+    chunked = tuple(e.reshape((S, L) + e.shape[1:]) for e in elems)
+
+    # suffix within each chunk (vmapped over chunks): within[s, i]
+    # composes stages i..L-1 of chunk s
+    within = jax.vmap(
+        lambda ce: jax.lax.associative_scan(
+            jax.vmap(lambda a, b: _combine_value_elements(b, a)),
+            ce, reverse=True,
+        )
+    )(chunked)
+    chunk_elems = tuple(w[:, 0] for w in within)
+
+    # serial suffix across chunks: after[s] = value element composing
+    # chunks s+1..S-1 (identity for the last chunk)
+    ident = tuple(e[0] for e in _identity_elements(1, n, dtype))
+
+    def step(carry, ce):
+        return _combine_value_elements(ce, carry), carry
+
+    _, after = jax.lax.scan(step, ident, chunk_elems, reverse=True)
+
+    # full suffix at (s, i) = within[s, i] composed with after[s]
+    full = jax.vmap(
+        jax.vmap(_combine_value_elements, in_axes=(0, None))
+    )(within, after)
+    P = full[4].reshape((S * L, n, n))[:T]
+    p = -full[3].reshape((S * L, n))[:T]
+    return P, p
+
+
+def tvlqr_backward_associative(A, B, f, lxx, luu, lux, lx, lu, reg=0.0,
+                               chunk=None) -> TVLQRGains:
     """Parallel Riccati backward pass via `lax.associative_scan`.
 
     Same interface/results as `tvlqr_backward` (to numerical tolerance);
     O(log N) sequential depth, so long horizons parallelize across the
     TPU's vector lanes / cores instead of serializing the scan.
+
+    chunk=None runs the pure associative suffix scan (shortest depth,
+    f64-recommended at long horizons); chunk=L runs the two-level
+    variant (_two_level_suffix) that caps every element's span at L
+    stages, trading depth T/L + log2(L) for f32-usable accuracy at long
+    horizons (accuracy ladder: tests/test_parallel_riccati.py).
 
     Requires the input cost blocks luu to be PD on their own (the stage
     elimination inverts luu + reg I, not Quu); AL-augmented problems
@@ -289,14 +362,18 @@ def tvlqr_backward_associative(A, B, f, lxx, luu, lux, lx, lu, reg=0.0) -> TVLQR
     )
     elems = tuple(jnp.concatenate([e, t], axis=0) for e, t in zip(elems, term))
 
-    # NOTE: with reverse=True, associative_scan passes arguments in
-    # reversed span order (a = later accumulation, b = earlier element),
-    # so swap into our (earlier, later) composition convention.
-    suffix = jax.lax.associative_scan(
-        jax.vmap(lambda a, b: _combine_value_elements(b, a)), elems, reverse=True
-    )
-    P = suffix[4]
-    p = -suffix[3]
+    if chunk is not None and 0 < int(chunk) < N + 1:
+        P, p = _two_level_suffix(elems, N + 1, n, dtype, int(chunk))
+    else:
+        # NOTE: with reverse=True, associative_scan passes arguments in
+        # reversed span order (a = later accumulation, b = earlier
+        # element), so swap into our (earlier, later) convention.
+        suffix = jax.lax.associative_scan(
+            jax.vmap(lambda a, b: _combine_value_elements(b, a)), elems,
+            reverse=True,
+        )
+        P = suffix[4]
+        p = -suffix[3]
 
     # Recover gains per knot from P_{k+1}, p_{k+1} (standard action-value
     # formulas, embarrassingly parallel).

