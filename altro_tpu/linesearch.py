@@ -679,6 +679,7 @@ def parallel_backtracking_search_split(
     armijo_only: bool = False,
     reconstruct: Optional[Callable] = None,
     merit_grid: Optional[Callable] = None,
+    best_decrease_fallback: bool = False,
 ) -> LineSearchResult:
     """Phase-split variant of `parallel_backtracking_search`.
 
@@ -776,60 +777,99 @@ def parallel_backtracking_search_split(
         phis0[idx0],
         jax.tree.map(lambda a: a[idx0], lights0),
     )
+    bidx0 = jnp.argmin(phis0)
+    best0 = (
+        ks0[bidx0],
+        alphas0[bidx0],
+        phis0[bidx0],
+        jax.tree.map(lambda a: a[bidx0], lights0),
+    )
 
     # ---- deeper blocks: Armijo-only, rollout-only -----------------------
     if n_blocks == 1:
         found, k_acc, alpha_acc, phi_acc, light_acc = sel0
+        bk, balpha, bphi, blight = best0
     else:
 
         def cond(c):
             return jnp.logical_and(jnp.logical_not(c[0]), c[1] < n_blocks)
 
         def body(c):
-            block = c[1]
-            ks = block * width + jnp.arange(width)
+            _, block_c, _, _, _, _, bk, balpha, bphi, blight = c
+            ks = block_c * width + jnp.arange(width)
             alphas = alpha0 * beta ** ks.astype(dtype)
             phis, lights = eval_grid(alphas)
             passes = armijo_mask(alphas, phis)
             if opts.verbose:
                 debug_print(
                     "    ls grid block {b}: alphas = {a}, phis = {p}",
-                    b=block, a=alphas, p=phis,
+                    b=block_c, a=alphas, p=phis,
                 )
             f = jnp.any(passes)
             idx = jnp.argmax(passes)
+            bi = jnp.argmin(phis)
+            take_best = phis[bi] < bphi
             return (
                 f,
-                block + 1,
+                block_c + 1,
                 ks[idx],
                 alphas[idx],
                 phis[idx],
                 jax.tree.map(lambda a: a[idx], lights),
+                jnp.where(take_best, ks[bi], bk),
+                jnp.where(take_best, alphas[bi], balpha),
+                jnp.where(take_best, phis[bi], bphi),
+                jax.tree.map(
+                    lambda n_, o: jnp.where(take_best, n_[bi], o),
+                    lights, blight),
             )
 
-        init = (sel0[0], jnp.asarray(1, jnp.int32)) + sel0[1:]
-        found, _, k_acc, alpha_acc, phi_acc, light_acc = jax.lax.while_loop(
-            cond, body, init
-        )
+        # carry: (found, block, k, alpha, phi, light, bk, balpha, bphi,
+        # blight) — the running BEST-merit trial rides alongside so the
+        # best-decrease fallback can use it when no trial passes
+        init = (sel0[0], jnp.asarray(1, jnp.int32), sel0[1], sel0[2],
+                sel0[3], sel0[4]) + best0
+        out = jax.lax.while_loop(cond, body, init)
+        found, _, k_acc, alpha_acc, phi_acc, light_acc = out[:6]
+        bk, balpha, bphi, blight = out[6:]
+
+    not_descent = dphi0 >= 0
+    ok = jnp.logical_and(found, jnp.logical_not(not_descent))
+    if best_decrease_fallback:
+        fb = jnp.logical_and(jnp.logical_not(ok), bphi < phi0)
+        k_acc = jnp.where(fb, bk, k_acc)
+        alpha_acc = jnp.where(fb, balpha, alpha_acc)
+        phi_acc = jnp.where(fb, bphi, phi_acc)
+        light_acc = jax.tree.map(
+            lambda b, a: jnp.where(fb, b, a), blight, light_acc)
+    else:
+        fb = jnp.zeros_like(ok)
 
     # Complete the accepted step's payload (once, knot-parallel).
     if reconstruct is not None:
         light_acc = reconstruct(light_acc, alpha_acc, phi_acc)
     dphi_acc, aux_acc = complete(light_acc, with_dphi=not armijo_only)
 
-    not_descent = dphi0 >= 0
-    ok = jnp.logical_and(found, jnp.logical_not(not_descent))
     code = jnp.where(
-        not_descent,
-        int(LineSearchCode.NOT_DESCENT_DIRECTION),
-        jnp.where(ok, int(LineSearchCode.MINIMUM_FOUND), int(LineSearchCode.NO_ERROR)),
+        ok,
+        int(LineSearchCode.MINIMUM_FOUND),
+        jnp.where(
+            fb,
+            int(LineSearchCode.BEST_DECREASE),
+            jnp.where(
+                not_descent,
+                int(LineSearchCode.NOT_DESCENT_DIRECTION),
+                int(LineSearchCode.NO_ERROR),
+            ),
+        ),
     ).astype(jnp.int32)
+    take = jnp.logical_or(ok, fb)
     return LineSearchResult(
-        alpha=jnp.where(not_descent, 0.0, alpha_acc),
+        alpha=jnp.where(take, alpha_acc, 0.0),
         phi=phi_acc,
         dphi=dphi_acc,
         code=code,
         n_iters=jnp.where(ok, k_acc + 1, opts.max_iters).astype(jnp.int32),
         aux=aux_acc,
-        aux_alpha=jnp.where(ok, alpha_acc, jnp.asarray(jnp.nan, dtype)),
+        aux_alpha=jnp.where(take, alpha_acc, jnp.asarray(jnp.nan, dtype)),
     )

@@ -201,6 +201,20 @@ def select_trial_tiled(passes, alphas, phis, xstacks):
     return found, idx.astype(jnp.int32), alpha, phi, xsel
 
 
+def select_best_tiled(alphas, phis, xstacks):
+    """Per-lane lowest-merit trial (the best-decrease fallback's
+    candidate): same blending as select_trial_tiled but argmin(phi)."""
+    W = phis.shape[0]
+    idx = jnp.argmin(phis, axis=0)
+    onehot = jax.nn.one_hot(idx, W, axis=0, dtype=phis.dtype)
+    phi = jnp.sum(onehot * phis, axis=0)
+    alpha = jnp.sum(
+        onehot * alphas.astype(phis.dtype)[:, None, None, None], axis=0
+    )
+    xsel = jnp.sum(onehot[:, :, None, None] * xstacks, axis=0)
+    return alpha, phi, xsel
+
+
 def light_from_xstack_tiled(
     ta: TileArgs, x_t, ref_x_t, ref_u_t, K_t, d_t, P_t, p_t, z_t, rho_t,
     alpha_t

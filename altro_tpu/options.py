@@ -90,6 +90,20 @@ class SolverOptions:
     # one that recovers and converges reports SUCCESS. Off by default to
     # preserve reference abort semantics; the bench enables it.
     ls_failure_recovery: bool = False
+    # Max line-search failures tolerated per solve under recovery before
+    # the lane stops as LINE_SEARCH_FAILED. Bounds the extra while_loop
+    # trips a grinding lane imposes on its whole vmapped/tiled batch
+    # (measured: unlimited recovery cost -23% batch throughput for
+    # +0.4% success on the headline workload; docs/PERF.md round 4).
+    ls_recovery_max_fails: int = 2
+    # Widened final-step acceptance: when NO grid trial passes Armijo
+    # but the best trial still DECREASED the merit value, take that
+    # trial's trajectory instead of freezing at alpha = 0 — the failing
+    # lane keeps making progress, so recovery iterations actually move
+    # toward convergence instead of only reshaping the merit landscape.
+    # The iteration still counts as a line-search failure (status,
+    # recovery cap, reg escalation). Grid searches only; off by default.
+    ls_best_decrease_fallback: bool = False
     # Evaluate the whole backtracking trial grid {1, b, b^2, ...} in ONE
     # batched merit evaluation and select the first passing step, instead
     # of sequential trials (requires use_backtracking_linesearch). Under

@@ -687,6 +687,7 @@ class _Carry(NamedTuple):
     stat: jnp.ndarray
     feas: jnp.ndarray
     ls_iters: jnp.ndarray
+    ls_fails: jnp.ndarray  # int32 count of failed line searches (recovery cap)
 
 
 def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOptions()):
@@ -778,6 +779,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         stat=jnp.asarray(jnp.inf, dtype),
         feas=jnp.asarray(jnp.inf, dtype),
         ls_iters=jnp.asarray(0, jnp.int32),
+        ls_fails=jnp.asarray(0, jnp.int32),
     )
 
     def cond(c: _Carry):
@@ -920,6 +922,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                         armijo_only=opts.ls_armijo_only,
                         reconstruct=reconstruct,
                         merit_grid=merit_grid,
+                        best_decrease_fallback=opts.ls_best_decrease_fallback,
                     )
                 else:
                     ls = parallel_backtracking_search(
@@ -939,6 +942,12 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                 jnp.logical_not(grad_small),
                 jnp.logical_or(jnp.isnan(alpha), jnp.logical_not(ls_ok)),
             )
+            # widened final-step acceptance: BEST_DECREASE counts as a
+            # failure for status/recovery but its payload is real
+            # progress and IS the carried trajectory
+            ls_accepted = jnp.logical_or(
+                ls_ok, ls.code == int(LineSearchCode.BEST_DECREASE)
+            )
             ls_iters = ls.n_iters
 
             # 5. Data at the accepted step. On every success path the line
@@ -951,7 +960,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             #    cached expansion data: the alpha = 0 trajectory IS the
             #    reference trajectory (cf. MeritFunction(0), solver.cpp:273).
             use_ls_payload = jnp.logical_and(
-                jnp.logical_and(ls_ok, jnp.logical_not(grad_small)),
+                jnp.logical_and(ls_accepted, jnp.logical_not(grad_small)),
                 ls.aux_alpha == alpha,
             )
             m = jax.tree.map(
@@ -1040,8 +1049,16 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                 int(SolveStatus.UNSOLVED),
                 status,
             ).astype(jnp.int32)
-            stop = jnp.logical_or(converged, bp_failed)
+            ls_fails_new = c.ls_fails + ls_failed.astype(jnp.int32)
+            cap = opts.ls_recovery_max_fails
+            recovery_exhausted = (
+                jnp.logical_and(ls_failed, ls_fails_new > cap)
+                if cap > 0 else jnp.zeros_like(ls_failed)
+            )
+            stop = jnp.logical_or(
+                converged, jnp.logical_or(bp_failed, recovery_exhausted))
         else:
+            ls_fails_new = c.ls_fails + ls_failed.astype(jnp.int32)
             stop = jnp.logical_or(
                 converged, jnp.logical_or(ls_failed, bp_failed))
 
@@ -1095,6 +1112,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             stat=stat,
             feas=feas,
             ls_iters=ls_iters,
+            ls_fails=ls_fails_new,
         )
 
     final = jax.lax.while_loop(cond, body, init)

@@ -73,6 +73,11 @@ class LineSearchCode(enum.IntEnum):
     GOT_NONFINITE_STEP_SIZE = 5
     MAX_ITERATIONS = 6
     HIT_MAX_STEPSIZE = 7
+    # Beyond the reference enum: the grid search found no Armijo-passing
+    # step but returned the best merit-DECREASING trial's payload
+    # (SolverOptions.ls_best_decrease_fallback). Treated as a failure for
+    # status/recovery accounting; the payload is still usable progress.
+    BEST_DECREASE = 8
 
 
 class AltroError(RuntimeError):

@@ -262,6 +262,7 @@ class _CarryT(NamedTuple):
     stat: jnp.ndarray
     feas: jnp.ndarray
     ls_iters: jnp.ndarray
+    ls_fails: jnp.ndarray  # [lanes] int32 failed-line-search count (recovery cap)
 
 
 def solve_tiled(
@@ -336,6 +337,7 @@ def solve_tiled(
         stat=jnp.full(lane_shape, jnp.inf, dtype),
         feas=jnp.full(lane_shape, jnp.inf, dtype),
         ls_iters=jnp.zeros(lane_shape, jnp.int32),
+        ls_fails=jnp.zeros(lane_shape, jnp.int32),
     )
 
     def lane_active(c: _CarryT):
@@ -378,6 +380,8 @@ def solve_tiled(
             ls_failed = jnp.zeros(lane_shape, bool)
             ls_iters = jnp.ones(lane_shape, jnp.int32)
         else:
+            fallback = opts.ls_best_decrease_fallback
+
             def eval_block(block):
                 ks = block * W + jnp.arange(W)
                 alphas = beta ** ks.astype(dtype)
@@ -389,12 +393,19 @@ def solve_tiled(
                     + c1 * alphas[:, None, None, None] * dphi0[None]
                     + slack * jnp.abs(phi0)[None]
                 )
-                return ti.select_trial_tiled(armijo, alphas, phis, xstacks)
+                sel = ti.select_trial_tiled(armijo, alphas, phis, xstacks)
+                best = (
+                    ti.select_best_tiled(alphas, phis, xstacks)
+                    if fallback else ()
+                )
+                return sel, best
 
-            found, idx, alpha_acc, phi_acc, xsel = eval_block(
+            (found, idx, alpha_acc, phi_acc, xsel), best = eval_block(
                 jnp.asarray(0, jnp.int32)
             )
             k_acc = idx
+            if fallback:
+                balpha, bphi, bx = best
             if n_blocks > 1:
                 def bcond(bc):
                     f, blk = bc[0], bc[1]
@@ -403,10 +414,13 @@ def solve_tiled(
                     )
 
                 def bbody(bc):
-                    f, blk, k_a, a_a, p_a, x_a = bc
-                    f2, idx2, a2, p2, x2 = eval_block(blk)
+                    if fallback:
+                        f, blk, k_a, a_a, p_a, x_a, b_a, b_p, b_x = bc
+                    else:
+                        f, blk, k_a, a_a, p_a, x_a = bc
+                    (f2, idx2, a2, p2, x2), best2 = eval_block(blk)
                     take = jnp.logical_and(jnp.logical_not(f), f2)
-                    return (
+                    out = (
                         jnp.logical_or(f, f2),
                         blk + 1,
                         jnp.where(take, blk * W + idx2, k_a),
@@ -414,26 +428,56 @@ def solve_tiled(
                         jnp.where(take, p2, p_a),
                         _lane_where(take, x2, x_a),
                     )
+                    if fallback:
+                        ba2, bp2, bx2 = best2
+                        tb = bp2 < b_p
+                        out = out + (
+                            jnp.where(tb, ba2, b_a),
+                            jnp.where(tb, bp2, b_p),
+                            _lane_where(tb, bx2, b_x),
+                        )
+                    return out
 
-                found, _, k_acc, alpha_acc, phi_acc, xsel = jax.lax.while_loop(
-                    bcond, bbody,
-                    (found, jnp.asarray(1, jnp.int32), k_acc, alpha_acc,
-                     phi_acc, xsel),
-                )
+                init = (found, jnp.asarray(1, jnp.int32), k_acc, alpha_acc,
+                        phi_acc, xsel)
+                if fallback:
+                    init = init + (balpha, bphi, bx)
+                out = jax.lax.while_loop(bcond, bbody, init)
+                found, _, k_acc, alpha_acc, phi_acc, xsel = out[:6]
+                if fallback:
+                    balpha, bphi, bx = out[6:]
 
             not_descent = dphi0 >= 0
             ls_ok = jnp.logical_and(found, jnp.logical_not(not_descent))
             ls_failed = jnp.logical_and(
                 jnp.logical_not(grad_small), jnp.logical_not(ls_ok)
             )
-            use_ls = jnp.logical_and(ls_ok, jnp.logical_not(grad_small))
+            if fallback:
+                # widened final-step acceptance (solver.py parity): no
+                # Armijo pass but the best trial decreased the merit —
+                # carry that trial; still a failure for status/recovery
+                fb = jnp.logical_and(jnp.logical_not(ls_ok), bphi < phi0)
+                alpha_acc = jnp.where(fb, balpha, alpha_acc)
+                phi_acc = jnp.where(fb, bphi, phi_acc)
+                xsel = _lane_where(fb, bx, xsel)
+            else:
+                fb = jnp.zeros_like(ls_ok)
+            use_ls = jnp.logical_and(
+                jnp.logical_or(ls_ok, fb), jnp.logical_not(grad_small)
+            )
             ls_iters = jnp.where(
                 ls_ok, k_acc + 1, opts.ls_max_iters
             ).astype(jnp.int32)
             # stats-visible alpha (solver.py: where(grad_small, 0, ls.alpha)
-            # with ls.alpha = where(not_descent, 0, alpha_acc))
+            # with ls.alpha = where(take, alpha_acc, 0))
             alpha_acc = jnp.where(
-                jnp.logical_or(grad_small, not_descent), 0.0, alpha_acc
+                jnp.logical_and(
+                    jnp.logical_or(grad_small, not_descent),
+                    jnp.logical_not(jnp.logical_and(
+                        fb, jnp.logical_not(grad_small))),
+                ),
+                0.0,
+                alpha_acc,
             ).astype(dtype)
 
         # 5. Accepted payload on the per-lane BLENDED trajectory: failed /
@@ -534,8 +578,16 @@ def solve_tiled(
                 int(SolveStatus.UNSOLVED),
                 status,
             ).astype(jnp.int32)
-            stop = jnp.logical_or(converged, bp_failed)
+            ls_fails_new = c.ls_fails + ls_failed.astype(jnp.int32)
+            cap = opts.ls_recovery_max_fails
+            recovery_exhausted = (
+                jnp.logical_and(ls_failed, ls_fails_new > cap)
+                if cap > 0 else jnp.zeros_like(ls_failed)
+            )
+            stop = jnp.logical_or(
+                converged, jnp.logical_or(bp_failed, recovery_exhausted))
         else:
+            ls_fails_new = c.ls_fails + ls_failed.astype(jnp.int32)
             stop = jnp.logical_or(
                 converged, jnp.logical_or(ls_failed, bp_failed))
 
@@ -545,7 +597,7 @@ def solve_tiled(
             convals=convals_m, A=A_m, B=B_m,
             iter=c.iter + 1, status=status, stop=stop,
             phi=phi_m, alpha=alpha_m, stat=stat, feas=feas,
-            ls_iters=ls_iters,
+            ls_iters=ls_iters, ls_fails=ls_fails_new,
         )
         # Per-lane freeze: inactive lanes keep every carried value (the
         # exact semantics of a vmapped lax.while_loop).

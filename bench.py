@@ -185,7 +185,7 @@ def child_main():
         platform == "tpu" and os.environ.get("ALTRO_BENCH_PALLAS_BWD", "1") == "1"
     )
     opts = SolverOptions(
-        iterations_max=1 if rti else 10,
+        iterations_max=1 if rti else int(os.environ.get("ALTRO_BENCH_ITERS", "10")),
         use_backtracking_linesearch=True,
         tol_stationarity=1e-3,
         tol_primal_feasibility=1e-3,
@@ -216,6 +216,11 @@ def child_main():
         # aborting — retires most of the ~1.5% failure tail (round-4
         # measurement in docs/PERF.md) at unchanged closed-loop error.
         ls_failure_recovery=os.environ.get("ALTRO_BENCH_LS_RECOVERY", "1") == "1",
+        ls_recovery_max_fails=int(os.environ.get("ALTRO_BENCH_LS_RECOVERY_CAP", "2")),
+        # widened final-step acceptance: failing lanes carry the best
+        # merit-decreasing trial instead of freezing at alpha = 0, so
+        # recovery iterations make real progress (docs/PERF.md round 4)
+        ls_best_decrease_fallback=os.environ.get("ALTRO_BENCH_LS_FALLBACK", "1") == "1",
         # Armijo-only acceptance (skip the strong-Wolfe curvature test on
         # the full step and with it the two sequential dphi-completion
         # scans per iteration) — see SolverOptions.ls_armijo_only.

@@ -189,10 +189,23 @@ def test_ls_failure_recovery():
         ls_try_cubic_first=False, ls_armijo_only=True,
         ls_max_iters=1, ls_parallel_width=1, throw_errors=False)
     _, t_abort = solve(problem, st, SolverOptions(**base))
+    # unlimited recovery (ls_recovery_max_fails=0): the lane grinds on
+    # and makes real progress
     _, t_rec = solve(
-        problem, st, SolverOptions(ls_failure_recovery=True, **base))
+        problem, st,
+        SolverOptions(ls_failure_recovery=True, ls_recovery_max_fails=0,
+                      **base))
     assert int(t_abort.status) == 8  # LINE_SEARCH_FAILED
     assert int(t_abort.iterations) == 1
     assert int(t_rec.status) != 8
     assert int(t_rec.iterations) > 5
     assert float(t_rec.objective_value) < 0.1 * float(t_abort.objective_value)
+    # capped recovery: this scenario fails every iteration, so the lane
+    # stops as LINE_SEARCH_FAILED after cap+1 failures instead of
+    # grinding the whole budget
+    _, t_cap = solve(
+        problem, st,
+        SolverOptions(ls_failure_recovery=True, ls_recovery_max_fails=2,
+                      **base))
+    assert int(t_cap.status) == 8
+    assert 1 < int(t_cap.iterations) <= 4

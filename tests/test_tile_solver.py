@@ -256,3 +256,17 @@ def test_parity_unconstrained_empty_dual_tuple():
     st, tt = _run_tiled(problem, x0b, states, opts)
     _assert_state_close(sv, st, tol=1e-3, lane_frac=0.999)
     _assert_stats_match(tv, tt)
+
+
+def test_parity_recovery_and_best_decrease():
+    """ls_failure_recovery + ls_best_decrease_fallback: the tiled solver
+    must compute the same per-lane iterates as vmap(solve) with the new
+    failure semantics enabled (round-4 success-rate levers)."""
+    problem, ref = _problem()
+    x0b, states = _batched_inputs(problem, ref)
+    opts = _opts(ls_failure_recovery=True, ls_recovery_max_fails=2,
+                 ls_best_decrease_fallback=True)
+    sv, tv = _run_vmapped(problem, x0b, states, opts, ticks=1)
+    st, tt = _run_tiled(problem, x0b, states, opts, ticks=1)
+    _assert_state_close(sv, st)
+    _assert_stats_match(tv, tt)

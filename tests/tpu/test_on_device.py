@@ -330,3 +330,47 @@ def test_packed_latency_kernel_parity_on_device(nl, ml):
     assert float(jnp.max(jnp.abs(got.K - ref.K))) <= 1e-3 * max(scale, 1.0)
     assert float(jnp.max(jnp.abs(got.d - ref.d))) <= 1e-3
     assert float(jnp.max(jnp.abs(got.P - ref.P))) <= 1e-2
+
+
+def test_trial_rollout_kernel_parity_on_device():
+    """Packed trial-rollout kernel (ops/pallas_rollout.py) compiled on
+    the real device matches the portable scan grid at N=120 (bicycle
+    tile step in-kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from altro_tpu.io.scotty import load_scotty, synthetic_scotty
+    from altro_tpu.models.bicycle import bicycle_continuous
+    from altro_tpu.models.integrators import midpoint
+    from altro_tpu.models.tile_steps import bicycle_tile, midpoint_tile
+    from altro_tpu.ops.pallas_rollout import _pallas_rollout, _scan_rollout
+    from altro_tpu.problem import lqr_cost_from_reference
+
+    Nl = 120
+    try:
+        ref = load_scotty()
+    except FileNotFoundError:
+        ref = synthetic_scotty(N=500)
+    cost = lqr_cost_from_reference(
+        jnp.full((Nl + 1, 4), 1e-2, jnp.float32),
+        jnp.full((Nl + 1, 2), 1e-3, jnp.float32),
+        jnp.asarray(ref.x[: Nl + 1], jnp.float32),
+        jnp.asarray(ref.u[: Nl + 1], jnp.float32))
+    rng = np.random.default_rng(5)
+    xref = jnp.asarray(ref.x[: Nl + 1], jnp.float32)
+    uref = jnp.asarray(ref.u[:Nl] + 0.01 * rng.standard_normal((Nl, 2)),
+                       jnp.float32)
+    K = jnp.asarray(0.1 * rng.standard_normal((Nl, 2, 4)), jnp.float32)
+    d = jnp.asarray(0.05 * rng.standard_normal((Nl, 2)), jnp.float32)
+    h = jnp.full((Nl,), float(np.float32(ref.tf / ref.N)), jnp.float32)
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125,
+                          0.015625, 0.0078125], jnp.float32)
+    x0 = jnp.asarray(ref.x[0], jnp.float32)
+    step_tile = midpoint_tile(bicycle_tile())
+    args = (step_tile, alphas, x0, xref, uref, K, d,
+            cost.Q, cost.q, cost.R, cost.r, cost.c, h)
+    phi_s, x_s = _scan_rollout(*args)
+    phi_k, x_k = _pallas_rollout(*args)
+    scale = float(jnp.max(jnp.abs(phi_s)))
+    assert float(jnp.max(jnp.abs(phi_k - phi_s))) < 2e-5 * max(scale, 1.0)
+    assert float(jnp.max(jnp.abs(x_k - x_s))) < 2e-5
