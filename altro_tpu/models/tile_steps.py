@@ -91,16 +91,28 @@ def bicycle_tile(frame="cog", length=2.7, rear=1.5):
         theta = comp(x, 2)
         delta = comp(x, 3)
         if frame in ("cog", "CENTER_OF_GRAVITY"):
-            beta = jnp.arctan2(rear * delta, jnp.full_like(delta, length))
-            omega = v * jnp.cos(beta) * jnp.tan(delta) / length
-            ang = theta + beta
+            # beta = atan(rear*delta / length), but Mosaic has no atan
+            # lowering — and none is needed: only cos(beta)/sin(beta)
+            # appear, which the triangle identity gives EXACTLY:
+            #   cos(beta) = L / hyp,  sin(beta) = rear*delta / hyp,
+            #   hyp = sqrt(L^2 + (rear*delta)^2);
+            # cos/sin(theta + beta) expand by the angle-sum formulas.
+            rd = rear * delta
+            inv_hyp = jax.lax.rsqrt(length * length + rd * rd)
+            cosb = length * inv_hyp
+            sinb = rd * inv_hyp
+            ct, st = jnp.cos(theta), jnp.sin(theta)
+            cos_ang = ct * cosb - st * sinb
+            sin_ang = st * cosb + ct * sinb
+            omega = v * cosb * jnp.tan(delta) / length
         elif frame in ("rear", "REAR"):
             omega = v * jnp.tan(delta) / length
-            ang = theta
+            cos_ang, sin_ang = jnp.cos(theta), jnp.sin(theta)
         else:  # front
             omega = v * jnp.sin(delta) / length
             ang = theta + delta
-        return place([v * jnp.cos(ang), v * jnp.sin(ang), omega, delta_dot], 4)
+            cos_ang, sin_ang = jnp.cos(ang), jnp.sin(ang)
+        return place([v * cos_ang, v * sin_ang, omega, delta_dot], 4)
 
     return f
 

@@ -382,9 +382,13 @@ def _pack_operands(A, B, f, lxx, luu, lux, lx, lu, reg, offs):
 
 def _pick_chunk(N: int) -> int:
     """Largest chunk size dividing N: amortizes per-grid-step pipeline
-    overhead (dominant at 1 knot/step) against unrolled body size."""
-    for c in (10, 8, 5, 4, 2):
-        if N % c == 0:
+    overhead (dominant at 1 knot/step) against unrolled body size
+    (measured best at 10; override with ALTRO_PACKED_CHUNK)."""
+    import os
+
+    cap = int(os.environ.get("ALTRO_PACKED_CHUNK", "10"))
+    for c in (25, 20, 10, 8, 5, 4, 2):
+        if c <= cap and N % c == 0:
             return c
     return 1
 

@@ -169,8 +169,15 @@ def _pack_operands(xref, uref, K, d, Qd, ql, Rd, rl, cconst, h, offs, used):
 
 
 def _pick_chunk(N: int) -> int:
-    for c in (10, 8, 5, 4, 2):
-        if N % c == 0:
+    """Knots per grid step. The rollout body is much smaller than the
+    backward kernel's (~40 VPU ops vs ~1500), so the ~2.5 us grid-step
+    overhead dominates at small chunks — larger chunks win (measured on
+    the N=500 row; override with ALTRO_ROLLOUT_CHUNK)."""
+    import os
+
+    cap = int(os.environ.get("ALTRO_ROLLOUT_CHUNK", "25"))
+    for c in (25, 20, 10, 8, 5, 4, 2):
+        if c <= cap and N % c == 0:
             return c
     return 1
 

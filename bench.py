@@ -55,7 +55,11 @@ COMPILE_CACHE_DIR = os.environ.get(
 # error 0.4855, success 98.78%, mean iterations 1.44) and the reference
 # artifact (/root/reference/test/scotty_mpc.json: error 0.485).
 GATE_MAX_TRACKING_ERR = 0.5
-GATE_MIN_SUCCESS = 0.98  # full-solver mode only (RTI has no convergence contract)
+# Tightened round 4 (was 0.98, set before the round-3 tiled-path success
+# regression and never re-examined — VERDICT r3 weak #1). The measured
+# headline sits at 98.54%; the full recovery/fallback frontier and the
+# f32 non-descent proof for the residual tail are in docs/PERF.md.
+GATE_MIN_SUCCESS = 0.985  # full-solver mode only (RTI has no convergence contract)
 GATE_MAX_MEAN_ITERS = 2.0
 GATE_MAX_KERNEL_DK = 1e-3  # max |K_pallas - K_scan| on the live-device probe
 
@@ -213,9 +217,13 @@ def child_main():
         ls_armijo_slack=float(os.environ.get("ALTRO_BENCH_ARMIJO_SLACK", "0.0")),
         # Line-search failure recovery (SolverOptions.ls_failure_recovery):
         # failed lanes escalate reg and keep iterating instead of
-        # aborting — retires most of the ~1.5% failure tail (round-4
-        # measurement in docs/PERF.md) at unchanged closed-loop error.
-        ls_failure_recovery=os.environ.get("ALTRO_BENCH_LS_RECOVERY", "1") == "1",
+        # aborting. Default OFF for the headline: the measured frontier
+        # (docs/PERF.md round 4) is 98.54% @ 2.98M (off), 98.68% @ 2.75M
+        # (cap=1), 98.93% @ 2.28M (unlimited) — the residual tail is
+        # proven f32 non-descent (no merit-decreasing trial exists), so
+        # buying 0.1-0.4% success with 8-23% throughput is a deployment
+        # choice, not a default.
+        ls_failure_recovery=os.environ.get("ALTRO_BENCH_LS_RECOVERY", "0") == "1",
         ls_recovery_max_fails=int(os.environ.get("ALTRO_BENCH_LS_RECOVERY_CAP", "2")),
         # widened final-step acceptance: failing lanes carry the best
         # merit-decreasing trial instead of freezing at alpha = 0, so

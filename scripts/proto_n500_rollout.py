@@ -84,14 +84,19 @@ def main():
     ]
     for label, kw in variants:
         opts = SolverOptions(**base, **kw)
-        fn = jax.jit(solve, static_argnames=("opts",))
+        # close over problem/opts exactly like scripts/bench_all.run —
+        # problem data bakes into the program as constants; passing the
+        # pytree as an argument instead streams it through the remote
+        # tunnel EVERY call and dominates the measurement (~60 ms at
+        # N=500 — measured round 4)
+        fn = jax.jit(lambda s, _o=opts: solve(problem, s, _o))
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(problem, state0, opts))
+        out = jax.block_until_ready(fn(state0))
         compile_s = time.perf_counter() - t0
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            s, t = jax.block_until_ready(fn(problem, state0, opts))
+            s, t = jax.block_until_ready(fn(state0))
             ts.append(time.perf_counter() - t0)
         ts = np.sort(np.asarray(ts))
         print(json.dumps({
