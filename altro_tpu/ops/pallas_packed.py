@@ -159,20 +159,6 @@ def _scalar(M, i, j):
     return jnp.sum(jnp.where(mask, M, 0.0), axis=(0, 1), keepdims=True)
 
 
-def _transpose_g(Mg, R):
-    """Entry-wise transpose of a row-grouped (R, R) matrix via one-hot
-    placement; R^2 (1, 1) extracts + fmas — cheap next to the
-    surrounding matmuls at R <= 8, the dominant cost at R > 8 (so
-    symmetrize at n > 8 is supported but measured before use)."""
-    acc = [jnp.zeros((SUB, R), jnp.float32) for _ in range(len(Mg))]
-    for i in range(R):
-        for j in range(R):
-            v = _scalar(Mg[i // SUB], i % SUB, j)
-            acc[j // SUB] = acc[j // SUB] + v * (
-                _row_onehot(j % SUB) * _lane_onehot(i, R))
-    return acc
-
-
 def _knot_body(n, m, G, offs, symmetrize, with_f, reg, blk, Png, png):
     """One Riccati step on a packed knot tile. Returns the per-knot
     outputs and the updated (grouped) carry."""
@@ -256,21 +242,30 @@ def _knot_body(n, m, G, offs, symmetrize, with_f, reg, blk, Png, png):
         okb, sum(KTcols[i][g] * _lane_onehot(i, m) for i in range(m)), 0.0)
         for g in range(G)]             # grouped (n, m)
 
-    # Cost-to-go update, all row-major products.
-    QuuK = _mm_g([Quu], [K], m)[0]     # (m, n)
-    Pk = _gsub(_gsub(_gadd(Qxx, _mm_g(KT, [QuuK], m)),
-                     _mm_g(KT, [Qux], m)),
-               _mm_g(QuxT, [K], m))
-    if symmetrize:
-        PkT = _transpose_g(Pk, n)
-        Pk = [0.5 * (p + pt) for p, pt in zip(Pk, PkT)]
-    Quud = _mm_g([Quu], [d], m)[0]     # (m, 1)
-    pk = _gadd(_gsub(_gsub(Qx, _mm_g(KT, [Quud], m)),
-                     _mm_g(KT, [Qu], m)),
-               _mm_g(QuxT, [d], m))
+    # Cost-to-go update via the Cholesky identity (round 4): since
+    # (Quu + reg I) K = Qux and (Quu + reg I) d = -Qu exactly (K, d are
+    # the substitutions above), the reference form
+    #   P = Qxx + K'QuuK - K'Qux - Qux'K
+    #   p = Qx  + K'Quu d - K'Qu - ... (tvlqr.cpp:150-160)
+    # collapses ALGEBRAICALLY to
+    #   P = Qxx - Qux'K - reg K'K
+    #   p = Qx  + Qux'd + reg K'd
+    # dropping four grouped products and the explicit transpose-based
+    # re-symmetrization: Qux'K == K'(Quu+reg)K is symmetric by value, so
+    # the only asymmetry left is single-product rounding (vs the large
+    # cancellation asymmetries of the expanded form that `symmetrize`
+    # existed to fix). ~25% fewer VPU ops per knot; exact same math
+    # (kernel parity tests unchanged). `symmetrize` is accepted for ABI
+    # compatibility; the update is always symmetric-by-construction now.
+    del symmetrize
+    Pk = _gsub(_gsub(Qxx, _mm_g(QuxT, [K], m)),
+               [reg * kk for kk in _mm_g(KT, [K], m)])
+    pk = _gadd(_gadd(Qx, _mm_g(QuxT, [d], m)),
+               [reg * kd for kd in _mm_g(KT, [d], m)])
 
     dQu = jnp.sum(d * Qu, axis=0, keepdims=True)[:, 0:1]       # (1, 1)
-    dQuud = 0.5 * jnp.sum(d * Quud, axis=0, keepdims=True)[:, 0:1]
+    dd = jnp.sum(d * d, axis=0, keepdims=True)[:, 0:1]
+    dQuud = -0.5 * (dQu + reg * dd)
     return K, d, Pk, pk, okb, ok, dQu, dQuud
 
 
