@@ -230,40 +230,41 @@ def _kernel(n, m, N, bt, diag_cost, with_f, with_lux, symmetrize, *refs):
             st(K_ref, Kk[i][j], i, j)
         st(d_ref, dk[i], i)
 
-    # Cost-to-go update
-    QuuK = [[sum(Quu[i][l] * Kk[l][j] for l in range(m)) for j in range(n)]
-            for i in range(m)]
-    KtQux = [[sum(Kk[l][i] * Qux[l][j] for l in range(m)) for j in range(n)]
-             for i in range(n)]
-    Pk_all = [[(Qxx[i][j]
-                + sum(QuuK[l][i] * Kk[l][j] for l in range(m))
-                - KtQux[i][j] - KtQux[j][i])
-               for j in range(n)] for i in range(n)]
-    if symmetrize:
-        # In-kernel cost-to-go re-symmetrization (long-horizon f32
-        # stability, tvlqr.symmetrize semantics). Register-level averages
-        # — unlike the XLA scan, where the per-step transposes cost ~40%.
-        Pk_all = [[0.5 * (Pk_all[i][j] + Pk_all[j][i]) for j in range(n)]
-                  for i in range(n)]
+    # Cost-to-go update via the Cholesky identity (round 4, same algebra
+    # as ops/pallas_packed.py): (Quu + reg I)K = Qux and
+    # (Quu + reg I)d = -Qu hold exactly for the substitutions above, so
+    #   P = Qxx + K'QuuK - K'Qux - Qux'K  ==  Qxx - Qux'K - reg K'K
+    #   p = Qx + K'Quu d - K'Qu + Qux'd   ==  Qx + Qux'd + reg K'd
+    # with Qux'K == K'(Quu+reg)K SYMMETRIC by value — so only the upper
+    # triangles are computed (mirrored below) and the result is
+    # symmetric by construction, which also retires the explicit
+    # `symmetrize` averaging (kept as a no-op parameter for ABI
+    # stability). ~11% fewer tile-fmas per knot.
+    del symmetrize
     for i in range(n):
-        for j in range(n):
-            Pk = Pk_all[i][j]
+        for j in range(i, n):
+            S = sum(Kk[l][i] * Qux[l][j] for l in range(m))
+            KtK = sum(Kk[l][i] * Kk[l][j] for l in range(m))
+            Pk = Qxx[i][j] - S - reg * KtK
             Pc[i, j] = Pk
             st(P_ref, Pk, i, j)
+            if i != j:
+                Pc[j, i] = Pk
+                st(P_ref, Pk, j, i)
     for i in range(n):
         pk = (Qx[i]
-              - sum(QuuK[l][i] * dk[l] for l in range(m))
-              - sum(Kk[l][i] * Qu[l] for l in range(m))
-              + sum(Qux[l][i] * dk[l] for l in range(m)))
+              + sum(Qux[l][i] * dk[l] for l in range(m))
+              + reg * sum(Kk[l][i] * dk[l] for l in range(m)))
         pc[i] = pk
         st(p_ref, pk, i)
 
-    # Expected decrease
-    dV_ref[acc_at(dV_ref, 0)] = dV_ref[acc_at(dV_ref, 0)] + sum(
-        dk[i] * Qu[i] for i in range(m))
-    dV_ref[acc_at(dV_ref, 1)] = dV_ref[acc_at(dV_ref, 1)] + 0.5 * sum(
-        dk[i] * sum(Quu[i][l] * dk[l] for l in range(m)) for i in range(m)
-    )
+    # Expected decrease: d'Qu and 0.5 d'Quu d, with
+    # Quu d = -Qu - reg d from the same identity
+    dQu = sum(dk[i] * Qu[i] for i in range(m))
+    dd = sum(dk[i] * dk[i] for i in range(m))
+    dV_ref[acc_at(dV_ref, 0)] = dV_ref[acc_at(dV_ref, 0)] + dQu
+    dV_ref[acc_at(dV_ref, 1)] = dV_ref[acc_at(dV_ref, 1)] - 0.5 * (
+        dQu + reg * dd)
 
 
 class PallasGains(NamedTuple):
