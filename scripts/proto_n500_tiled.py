@@ -21,6 +21,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# The compile fix that landed this row (round 4): the default scan
+# unroll of 5-6 multiplies every sequential body at N=500 and pushed
+# the cold compile past 30 minutes through the remote toolchain;
+# unroll=1 is runtime-neutral here and compiles in minutes.
+os.environ.setdefault("ALTRO_SCAN_UNROLL", "1")
+
 from bench import pick_platform
 
 
