@@ -169,3 +169,18 @@ def test_f32_accuracy_ladder(N):
         assert bool(g.ok), label
         # measured: ~3-6e-7 at N in {100, 500, 1000}; gate at 20x margin
         assert relK < 1e-5, (label, relK)
+
+
+def test_solver_with_chunked_parallel_riccati():
+    """The span-capped variant through the solver
+    (SolverOptions.parallel_riccati_chunk) reproduces the same
+    3-iteration oracle as the pure associative and serial paths."""
+    from test_solver_double_integrator import NX, goal_constraint, make_problem
+
+    problem = make_problem([1.0, 2.0, 0.0, 0.0], (goal_constraint(np.zeros(NX)),))
+    opts = SolverOptions(penalty_scaling=100.0, parallel_riccati=True,
+                         parallel_riccati_chunk=16)
+    state, stats = solve(problem, init_state(problem), opts)
+    assert int(stats.status) == SolveStatus.SUCCESS
+    assert int(stats.iterations) == 3
+    assert float(jnp.linalg.norm(state.x[-1])) < 1e-4
