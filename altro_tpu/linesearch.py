@@ -777,25 +777,32 @@ def parallel_backtracking_search_split(
         phis0[idx0],
         jax.tree.map(lambda a: a[idx0], lights0),
     )
-    bidx0 = jnp.argmin(phis0)
-    best0 = (
-        ks0[bidx0],
-        alphas0[bidx0],
-        phis0[bidx0],
-        jax.tree.map(lambda a: a[bidx0], lights0),
-    )
+    if best_decrease_fallback:
+        bidx0 = jnp.argmin(phis0)
+        best0 = (
+            ks0[bidx0],
+            alphas0[bidx0],
+            phis0[bidx0],
+            jax.tree.map(lambda a: a[bidx0], lights0),
+        )
+    else:
+        # the best-trial carry is only materialized when the fallback is
+        # on — it adds an argmin + light-tree gather per block to the
+        # hot default path otherwise
+        best0 = ()
 
     # ---- deeper blocks: Armijo-only, rollout-only -----------------------
     if n_blocks == 1:
         found, k_acc, alpha_acc, phi_acc, light_acc = sel0
-        bk, balpha, bphi, blight = best0
+        if best_decrease_fallback:
+            bk, balpha, bphi, blight = best0
     else:
 
         def cond(c):
             return jnp.logical_and(jnp.logical_not(c[0]), c[1] < n_blocks)
 
         def body(c):
-            _, block_c, _, _, _, _, bk, balpha, bphi, blight = c
+            block_c = c[1]
             ks = block_c * width + jnp.arange(width)
             alphas = alpha0 * beta ** ks.astype(dtype)
             phis, lights = eval_grid(alphas)
@@ -807,31 +814,37 @@ def parallel_backtracking_search_split(
                 )
             f = jnp.any(passes)
             idx = jnp.argmax(passes)
-            bi = jnp.argmin(phis)
-            take_best = phis[bi] < bphi
-            return (
+            out = (
                 f,
                 block_c + 1,
                 ks[idx],
                 alphas[idx],
                 phis[idx],
                 jax.tree.map(lambda a: a[idx], lights),
-                jnp.where(take_best, ks[bi], bk),
-                jnp.where(take_best, alphas[bi], balpha),
-                jnp.where(take_best, phis[bi], bphi),
-                jax.tree.map(
-                    lambda n_, o: jnp.where(take_best, n_[bi], o),
-                    lights, blight),
             )
+            if best_decrease_fallback:
+                bk, balpha, bphi, blight = c[6:]
+                bi = jnp.argmin(phis)
+                take_best = phis[bi] < bphi
+                out = out + (
+                    jnp.where(take_best, ks[bi], bk),
+                    jnp.where(take_best, alphas[bi], balpha),
+                    jnp.where(take_best, phis[bi], bphi),
+                    jax.tree.map(
+                        lambda n_, o: jnp.where(take_best, n_[bi], o),
+                        lights, blight),
+                )
+            return out
 
-        # carry: (found, block, k, alpha, phi, light, bk, balpha, bphi,
-        # blight) — the running BEST-merit trial rides alongside so the
-        # best-decrease fallback can use it when no trial passes
+        # carry: (found, block, k, alpha, phi, light[, bk, balpha, bphi,
+        # blight]) — the running BEST-merit trial rides alongside only
+        # when the best-decrease fallback needs it
         init = (sel0[0], jnp.asarray(1, jnp.int32), sel0[1], sel0[2],
                 sel0[3], sel0[4]) + best0
         out = jax.lax.while_loop(cond, body, init)
         found, _, k_acc, alpha_acc, phi_acc, light_acc = out[:6]
-        bk, balpha, bphi, blight = out[6:]
+        if best_decrease_fallback:
+            bk, balpha, bphi, blight = out[6:]
 
     not_descent = dphi0 >= 0
     ok = jnp.logical_and(found, jnp.logical_not(not_descent))
