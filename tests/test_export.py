@@ -139,3 +139,21 @@ def test_export_multiplatform_artifact_declares_tpu_and_cpu():
             state_to_arrays(init_state(problem))]
     u0, _, _ = call_exported(art, *args)
     assert u0.shape == (problem.m,)
+
+
+def test_tpu_only_export_warns_when_traced_off_tpu():
+    """ADVICE r3: a platforms=('tpu',) artifact traced on a non-TPU
+    process silently bakes the scan path in (trace-time kernel
+    dispatch); export_mpc_server must surface that."""
+    import warnings
+
+    problem, ref = _bicycle_problem()
+    opts = SolverOptions(
+        iterations_max=3, use_backtracking_linesearch=True,
+        throw_errors=False, pallas_latency_backward=True,
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        export_mpc_server(problem, opts, batch=None, platforms=("tpu",))
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("packed latency kernel will NOT" in m for m in msgs), msgs
