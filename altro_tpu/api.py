@@ -50,6 +50,24 @@ __all__ = ["ALTROSolver", "LAST_INDEX", "ALL_INDICES"]
 LAST_INDEX = -1
 ALL_INDICES = -2
 
+# Statuses throw_errors does NOT raise on. MERIT_FUN_GRADIENT_TOO_SMALL
+# is benign per the reference loop (solver.cpp:451: the solve keeps
+# iterating through it and returns NoError); MAX_SOLVE_TIME is the
+# budget facility working as intended.
+_BENIGN_STATUSES = frozenset(
+    {
+        SolveStatus.SUCCESS,
+        SolveStatus.MAX_ITERATIONS,
+        SolveStatus.MAX_SOLVE_TIME,
+        SolveStatus.MERIT_FUN_GRADIENT_TOO_SMALL,
+    }
+)
+
+_STATUS_ERROR_CODES = {
+    SolveStatus.BACKWARD_PASS_FAILED: ErrorCode.BACKWARD_PASS_FAILED,
+    SolveStatus.LINE_SEARCH_FAILED: ErrorCode.LINE_SEARCH_FAILED,
+}
+
 
 class ALTROSolver:
     """Define-then-solve API over the functional core.
@@ -681,10 +699,11 @@ class ALTROSolver:
         self._stats = stats
         status = SolveStatus(int(stats.status))
         self._print_host_summary()
-        if self._opts.throw_errors and status not in (
-            SolveStatus.SUCCESS, SolveStatus.MAX_ITERATIONS
-        ):
-            raise AltroError(ErrorCode.LINE_SEARCH_FAILED, f"solve failed: {status.name}")
+        if self._opts.throw_errors and status not in _BENIGN_STATUSES:
+            raise AltroError(
+                _STATUS_ERROR_CODES.get(status, ErrorCode.LINE_SEARCH_FAILED),
+                f"solve failed: {status.name}",
+            )
         return status
 
     def _solve_timed(self) -> SolveStatus:
@@ -734,11 +753,16 @@ class ALTROSolver:
             total_iters += int(stats.iterations)
             status = SolveStatus(int(stats.status))
             elapsed = time.perf_counter() - t0
-            if status != SolveStatus.MAX_ITERATIONS:
+            if status not in (
+                SolveStatus.MAX_ITERATIONS,
+                # benign early-out (reference solver.cpp:451): a later
+                # chunk's dual/penalty update can reshape the merit
+                # landscape, so keep spending the remaining budget
+                SolveStatus.MERIT_FUN_GRADIENT_TOO_SMALL,
+            ):
                 break  # converged or failed inside the chunk
             if total_iters >= self._opts.iterations_max:
-                status = SolveStatus.MAX_ITERATIONS
-                break
+                break  # keeps MAX_ITERATIONS or the final chunk's MFGTS
             if elapsed >= budget_s:
                 status = SolveStatus.MAX_SOLVE_TIME
                 break
@@ -753,10 +777,11 @@ class ALTROSolver:
             iterations=jnp.asarray(total_iters, jnp.int32),
         )
         self._print_host_summary()
-        if self._opts.throw_errors and status not in (
-            SolveStatus.SUCCESS, SolveStatus.MAX_ITERATIONS, SolveStatus.MAX_SOLVE_TIME
-        ):
-            raise AltroError(ErrorCode.LINE_SEARCH_FAILED, f"solve failed: {status.name}")
+        if self._opts.throw_errors and status not in _BENIGN_STATUSES:
+            raise AltroError(
+                _STATUS_ERROR_CODES.get(status, ErrorCode.LINE_SEARCH_FAILED),
+                f"solve failed: {status.name}",
+            )
         return status
 
     # ------------------------------------------------------------- getters

@@ -192,12 +192,16 @@ def select_trial_tiled(passes, alphas, phis, xstacks):
     W = passes.shape[0]
     idx = jnp.argmax(passes, axis=0)  # first True (argmax of bool)
     found = jnp.any(passes, axis=0)
-    onehot = jax.nn.one_hot(idx, W, axis=0, dtype=phis.dtype)  # [W, Bt, 8, 128]
-    phi = jnp.sum(onehot * phis, axis=0)
+    # Select with where, never 0*x: a non-selected trial whose phi/xstack
+    # overflowed to inf/NaN (e.g. an alpha=1 diverging rollout) must not
+    # poison the selected lane values through 0*inf = NaN.
+    sel = jax.nn.one_hot(idx, W, axis=0, dtype=jnp.bool_)  # [W, Bt, 8, 128]
+    phi = jnp.sum(jnp.where(sel, phis, 0), axis=0)
     alpha = jnp.sum(
-        onehot * alphas.astype(phis.dtype)[:, None, None, None], axis=0
+        jnp.where(sel, alphas.astype(phis.dtype)[:, None, None, None], 0),
+        axis=0,
     )
-    xsel = jnp.sum(onehot[:, :, None, None] * xstacks, axis=0)
+    xsel = jnp.sum(jnp.where(sel[:, :, None, None], xstacks, 0), axis=0)
     return found, idx.astype(jnp.int32), alpha, phi, xsel
 
 
@@ -205,13 +209,19 @@ def select_best_tiled(alphas, phis, xstacks):
     """Per-lane lowest-merit trial (the best-decrease fallback's
     candidate): same blending as select_trial_tiled but argmin(phi)."""
     W = phis.shape[0]
-    idx = jnp.argmin(phis, axis=0)
-    onehot = jax.nn.one_hot(idx, W, axis=0, dtype=phis.dtype)
-    phi = jnp.sum(onehot * phis, axis=0)
+    # Rank non-finite trials as +inf so argmin lands on the best FINITE
+    # trial, and select with where (no 0*inf = NaN poisoning from
+    # non-selected diverged trials; see select_trial_tiled).
+    phis_f = jnp.where(jnp.isfinite(phis), phis,
+                       jnp.asarray(jnp.inf, phis.dtype))
+    idx = jnp.argmin(phis_f, axis=0)
+    sel = jax.nn.one_hot(idx, W, axis=0, dtype=jnp.bool_)
+    phi = jnp.sum(jnp.where(sel, phis_f, 0), axis=0)
     alpha = jnp.sum(
-        onehot * alphas.astype(phis.dtype)[:, None, None, None], axis=0
+        jnp.where(sel, alphas.astype(phis.dtype)[:, None, None, None], 0),
+        axis=0,
     )
-    xsel = jnp.sum(onehot[:, :, None, None] * xstacks, axis=0)
+    xsel = jnp.sum(jnp.where(sel[:, :, None, None], xstacks, 0), axis=0)
     return alpha, phi, xsel
 
 

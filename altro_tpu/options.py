@@ -54,6 +54,20 @@ class SolverOptions:
     tol_meritfun_gradient: float = 1e-8
     max_solve_time: float = float("inf")
 
+    # Divergence guards: the reference DECLARES max_state_value /
+    # max_input_value (solver_options.hpp:28-29) but never reads them
+    # (they are even left uninitialized), and SolveStatus declares
+    # MaxObjectiveExceeded / StateOutOfBounds / InputOutOfBounds
+    # (typedefs.hpp:22-24) that nothing assigns. Here the intent is
+    # real: when finite, a candidate trajectory whose state / input
+    # max-abs exceeds the bound stops that lane with
+    # STATE_OUT_OF_BOUNDS / INPUT_OUT_OF_BOUNDS, and an accepted merit
+    # value above max_objective_value (or non-finite) stops it as
+    # MAX_OBJECTIVE_EXCEEDED. Defaults inf = statically compiled out.
+    max_state_value: float = float("inf")
+    max_input_value: float = float("inf")
+    max_objective_value: float = float("inf")
+
     # Augmented Lagrangian penalty schedule
     penalty_initial: float = 1.0
     penalty_scaling: float = 10.0
@@ -236,7 +250,10 @@ class SolverOptions:
     # Re-symmetrize the Riccati cost-to-go each step: recommended for
     # long horizons (N >~ 100) in f32, where roundoff asymmetry compounds
     # into line-search failures; costs ~40% backward-pass throughput on
-    # TPU at small n, hence opt-in.
+    # TPU at small n, hence opt-in. Only alters the XLA scan fallback:
+    # the Pallas kernels (packed/tiled) compute P via the
+    # Cholesky-identity form P = Qxx - Qux'K - reg*K'K, which is
+    # symmetric by construction, so they accept-and-ignore this flag.
     symmetrize_ctg: bool = False
 
     # Real-time iteration mode (beyond the reference): run EXACTLY

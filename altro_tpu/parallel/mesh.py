@@ -114,4 +114,4 @@ def _state_struct(problem):
 def _stats_spec(b):
     from altro_tpu.solver import SolveStats
 
-    return SolveStats(*([b] * 11))
+    return SolveStats(*([b] * 12))

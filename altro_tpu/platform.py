@@ -60,7 +60,10 @@ def _supports_host_callbacks_for(platform: str) -> bool:
 
         try:
             def probe(x):
-                jax.debug.print("", ordered=False)
+                # Silent callback: exercises the same host send/recv
+                # machinery as debug.print without emitting a stray
+                # blank line to stdout on callback-capable backends.
+                jax.debug.callback(lambda: None)
                 return x + 1
 
             jax.block_until_ready(jax.jit(probe)(jnp.zeros((), jnp.float32)))

@@ -25,6 +25,7 @@ state).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -95,6 +96,11 @@ class SolveStats:
     alpha: jnp.ndarray  # last line-search step
     ls_iterations: jnp.ndarray  # int32, last line search
     dphi: jnp.ndarray
+    # Smallest knot index whose Quu factorization failed in the LAST
+    # backward pass (N = none failed). The reference reports the failing
+    # knot via its error message (tvlqr.cpp:162-164 "BackwardPass failed
+    # at index k"); here it is a first-class per-lane stat.
+    bp_fail_index: jnp.ndarray  # int32
 
 
 _register(
@@ -111,6 +117,7 @@ _register(
         "alpha",
         "ls_iterations",
         "dphi",
+        "bp_fail_index",
     ],
 )
 
@@ -688,6 +695,7 @@ class _Carry(NamedTuple):
     feas: jnp.ndarray
     ls_iters: jnp.ndarray
     ls_fails: jnp.ndarray  # int32 count of failed line searches (recovery cap)
+    bp_fail_index: jnp.ndarray  # int32, last backward pass (N = ok)
 
 
 def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOptions()):
@@ -780,6 +788,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         feas=jnp.asarray(jnp.inf, dtype),
         ls_iters=jnp.asarray(0, jnp.int32),
         ls_fails=jnp.asarray(0, jnp.int32),
+        bp_fail_index=jnp.asarray(N, jnp.int32),
     )
 
     def cond(c: _Carry):
@@ -980,6 +989,27 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                 jnp.max(jnp.abs(m.y)),
             )
             stat_tol = jnp.maximum(stat_tol, opts.tol_stationarity_rel * scale)
+        # Divergence guards (statically compiled out at the inf
+        # defaults): the reference's declared-but-unread
+        # max_state_value / max_input_value (solver_options.hpp:28-29)
+        # and the dead MaxObjectiveExceeded status (typedefs.hpp:22)
+        # made real.
+        x_oob = jnp.asarray(False)
+        u_oob = jnp.asarray(False)
+        obj_exceeded = jnp.asarray(False)
+        if math.isfinite(opts.max_state_value):
+            x_oob = jnp.max(jnp.abs(m.x)) > opts.max_state_value
+        if math.isfinite(opts.max_input_value):
+            u_oob = jnp.max(jnp.abs(m.u)) > opts.max_input_value
+        if math.isfinite(opts.max_objective_value):
+            obj_exceeded = jnp.logical_or(
+                jnp.logical_not(jnp.isfinite(m.phi)),
+                m.phi > opts.max_objective_value,
+            )
+        diverged = jnp.logical_or(
+            obj_exceeded, jnp.logical_or(x_oob, u_oob)
+        )
+
         converged = jnp.logical_and(
             jnp.abs(stat) < stat_tol, feas < opts.tol_primal_feasibility
         )
@@ -1011,13 +1041,47 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             c.rho,
         )
 
+        # Status chain. MERIT_FUN_GRADIENT_TOO_SMALL mirrors the
+        # reference's ForwardPass early-out (solver.cpp:242-245) AND its
+        # loop semantics (solver.cpp:451 treats it as benign: the solve
+        # keeps iterating so a dual/penalty update can reshape the merit
+        # landscape) — sticky only while the gradient stays small, like
+        # the recovery path's LINE_SEARCH_FAILED.
+        grad_small_stat = (
+            jnp.asarray(False) if opts.rti_mode else grad_small
+        )
+        prev_status = jnp.where(
+            c.status == int(SolveStatus.MERIT_FUN_GRADIENT_TOO_SMALL),
+            int(SolveStatus.UNSOLVED),
+            c.status,
+        )
         status = jnp.where(
             converged,
             int(SolveStatus.SUCCESS),
             jnp.where(
                 ls_failed,
                 int(SolveStatus.LINE_SEARCH_FAILED),
-                jnp.where(bp_failed, int(SolveStatus.BACKWARD_PASS_FAILED), c.status),
+                jnp.where(
+                    bp_failed,
+                    int(SolveStatus.BACKWARD_PASS_FAILED),
+                    jnp.where(
+                        obj_exceeded,
+                        int(SolveStatus.MAX_OBJECTIVE_EXCEEDED),
+                        jnp.where(
+                            x_oob,
+                            int(SolveStatus.STATE_OUT_OF_BOUNDS),
+                            jnp.where(
+                                u_oob,
+                                int(SolveStatus.INPUT_OUT_OF_BOUNDS),
+                                jnp.where(
+                                    grad_small_stat,
+                                    int(SolveStatus.MERIT_FUN_GRADIENT_TOO_SMALL),
+                                    prev_status,
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
             ),
         ).astype(jnp.int32)
         if opts.ls_failure_recovery:
@@ -1061,6 +1125,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             ls_fails_new = c.ls_fails + ls_failed.astype(jnp.int32)
             stop = jnp.logical_or(
                 converged, jnp.logical_or(ls_failed, bp_failed))
+        stop = jnp.logical_or(stop, diverged)
 
         if opts.iteration_callback is not None:
             debug_callback(
@@ -1113,6 +1178,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
             feas=feas,
             ls_iters=ls_iters,
             ls_fails=ls_fails_new,
+            bp_fail_index=gains.fail_index.astype(jnp.int32),
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -1155,6 +1221,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         alpha=final.alpha,
         ls_iterations=final.ls_iters,
         dphi=final.dphi,
+        bp_fail_index=final.bp_fail_index,
     )
     return new_state, stats
 

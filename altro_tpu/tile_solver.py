@@ -31,6 +31,7 @@ batched; per-lane masking replaces vmap's automatic while_loop batching.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import NamedTuple, Tuple
 
 import jax
@@ -263,6 +264,7 @@ class _CarryT(NamedTuple):
     feas: jnp.ndarray
     ls_iters: jnp.ndarray
     ls_fails: jnp.ndarray  # [lanes] int32 failed-line-search count (recovery cap)
+    bp_fail_index: jnp.ndarray  # [Bt, 8, 128] int32, last backward (N = ok)
 
 
 def solve_tiled(
@@ -338,6 +340,7 @@ def solve_tiled(
         feas=jnp.full(lane_shape, jnp.inf, dtype),
         ls_iters=jnp.zeros(lane_shape, jnp.int32),
         ls_fails=jnp.zeros(lane_shape, jnp.int32),
+        bp_fail_index=jnp.full(lane_shape, N, jnp.int32),
     )
 
     def lane_active(c: _CarryT):
@@ -509,6 +512,24 @@ def solve_tiled(
                 lx_m, lu_m, y_m
             )
             stat_tol = jnp.maximum(stat_tol, opts.tol_stationarity_rel * scale)
+        # Divergence guards (solver.py parity; statically compiled out
+        # at the inf defaults)
+        x_oob = jnp.zeros(lane_shape, bool)
+        u_oob = jnp.zeros(lane_shape, bool)
+        obj_exceeded = jnp.zeros(lane_shape, bool)
+        if math.isfinite(opts.max_state_value):
+            x_oob = jnp.max(jnp.abs(x_m), axis=(1, 2)) > opts.max_state_value
+        if math.isfinite(opts.max_input_value):
+            u_oob = jnp.max(jnp.abs(u_m), axis=(1, 2)) > opts.max_input_value
+        if math.isfinite(opts.max_objective_value):
+            obj_exceeded = jnp.logical_or(
+                jnp.logical_not(jnp.isfinite(phi_m)),
+                phi_m > opts.max_objective_value,
+            )
+        diverged = jnp.logical_or(
+            obj_exceeded, jnp.logical_or(x_oob, u_oob)
+        )
+
         converged = jnp.logical_and(
             jnp.abs(stat) < stat_tol, feas < opts.tol_primal_feasibility
         )
@@ -541,6 +562,17 @@ def solve_tiled(
             c.rho,
         )
 
+        # Status chain (solver.py parity): MERIT_FUN_GRADIENT_TOO_SMALL
+        # is sticky only while the gradient stays small (reference
+        # solver.cpp:242-245,451: benign, the loop keeps iterating).
+        grad_small_stat = (
+            jnp.zeros(lane_shape, bool) if opts.rti_mode else grad_small
+        )
+        prev_status = jnp.where(
+            c.status == int(SolveStatus.MERIT_FUN_GRADIENT_TOO_SMALL),
+            int(SolveStatus.UNSOLVED),
+            c.status,
+        )
         status = jnp.where(
             converged,
             int(SolveStatus.SUCCESS),
@@ -548,7 +580,25 @@ def solve_tiled(
                 ls_failed,
                 int(SolveStatus.LINE_SEARCH_FAILED),
                 jnp.where(
-                    bp_failed, int(SolveStatus.BACKWARD_PASS_FAILED), c.status
+                    bp_failed,
+                    int(SolveStatus.BACKWARD_PASS_FAILED),
+                    jnp.where(
+                        obj_exceeded,
+                        int(SolveStatus.MAX_OBJECTIVE_EXCEEDED),
+                        jnp.where(
+                            x_oob,
+                            int(SolveStatus.STATE_OUT_OF_BOUNDS),
+                            jnp.where(
+                                u_oob,
+                                int(SolveStatus.INPUT_OUT_OF_BOUNDS),
+                                jnp.where(
+                                    grad_small_stat,
+                                    int(SolveStatus.MERIT_FUN_GRADIENT_TOO_SMALL),
+                                    prev_status,
+                                ),
+                            ),
+                        ),
+                    ),
                 ),
             ),
         ).astype(jnp.int32)
@@ -590,6 +640,7 @@ def solve_tiled(
             ls_fails_new = c.ls_fails + ls_failed.astype(jnp.int32)
             stop = jnp.logical_or(
                 converged, jnp.logical_or(ls_failed, bp_failed))
+        stop = jnp.logical_or(stop, diverged)
 
         new = _CarryT(
             x=x_m, u=u_m, y=y_m, z=z_new, rho=rho_new,
@@ -598,6 +649,7 @@ def solve_tiled(
             iter=c.iter + 1, status=status, stop=stop,
             phi=phi_m, alpha=alpha_m, stat=stat, feas=feas,
             ls_iters=ls_iters, ls_fails=ls_fails_new,
+            bp_fail_index=g.fail_index.astype(jnp.int32),
         )
         # Per-lane freeze: inactive lanes keep every carried value (the
         # exact semantics of a vmapped lax.while_loop).
@@ -635,5 +687,6 @@ def solve_tiled(
         alpha=final.alpha,
         ls_iterations=final.ls_iters,
         dphi=jnp.full(final.phi.shape, jnp.nan, dtype),
+        bp_fail_index=final.bp_fail_index,
     )
     return new_state, stats

@@ -206,7 +206,13 @@ def test_cost_tolerance_criterion():
 
     # stat tolerance 1e-14 is unreachable: without the cost criterion the
     # solve exhausts its budget; with it the plateau stops the solve.
-    assert status_off == SolveStatus.MAX_ITERATIONS
+    # exhaustion reports MAX_ITERATIONS, or MERIT_FUN_GRADIENT_TOO_SMALL
+    # when the final iteration's plateau gradient sat below
+    # tol_meritfun_gradient (the wired reference early-out status)
+    assert status_off in (
+        SolveStatus.MAX_ITERATIONS,
+        SolveStatus.MERIT_FUN_GRADIENT_TOO_SMALL,
+    )
     assert status_on == SolveStatus.SUCCESS
     assert iters_on < iters_off
     # and the answers agree (the extra iterations change nothing)

@@ -147,12 +147,20 @@ def test_relative_stationarity_tolerance():
         x0=jnp.asarray(x0, jnp.float32),
     )
     # Absolute-only: the f32 residual floor (~ eps * scale) sits far
-    # above 1e-3, so the solve exhausts iterations_max.
+    # above 1e-3, so the solve exhausts iterations_max. The reported
+    # status is MERIT_FUN_GRADIENT_TOO_SMALL when the final iteration's
+    # merit gradient sat below tol_meritfun_gradient (the LQR step has
+    # long since converged numerically — exactly why it can't progress),
+    # else MAX_ITERATIONS.
     abs_opts = SolverOptions(
         iterations_max=15, tol_stationarity=1e-3, throw_errors=False
     )
     _, stats_abs = solve(problem, init_state(problem), abs_opts)
-    assert int(stats_abs.status) == SolveStatus.MAX_ITERATIONS
+    assert int(stats_abs.status) in (
+        SolveStatus.MAX_ITERATIONS,
+        SolveStatus.MERIT_FUN_GRADIENT_TOO_SMALL,
+    )
+    assert int(stats_abs.iterations) == 15
     assert float(stats_abs.stationarity) > 1e-3
 
     # Relative criterion: same problem converges (LQR: one iteration).

@@ -270,3 +270,59 @@ def test_parity_recovery_and_best_decrease():
     st, tt = _run_tiled(problem, x0b, states, opts, ticks=1)
     _assert_state_close(sv, st)
     _assert_stats_match(tv, tt)
+
+
+def test_parity_divergence_guards_and_fail_index():
+    """Round-5 status surface on the tiled path: per-lane
+    MAX_OBJECTIVE_EXCEEDED via max_objective_value, and
+    SolveStats.bp_fail_index == N on healthy lanes — both matching
+    vmap(solve) lane-for-lane."""
+    problem, ref = _problem()
+    x0b, states = _batched_inputs(problem, ref)
+    opts = _opts(max_objective_value=1e-12, tol_stationarity=0.0)
+    sv, tv = _run_vmapped(problem, x0b, states, opts)
+    st, tt = _run_tiled(problem, x0b, states, opts)
+    from altro_tpu.status import SolveStatus
+
+    assert np.all(np.asarray(tv.status) == int(SolveStatus.MAX_OBJECTIVE_EXCEEDED))
+    assert np.all(np.asarray(tt.status) == np.asarray(tv.status))
+    assert np.all(np.asarray(tt.iterations) == np.asarray(tv.iterations))
+    assert np.all(np.asarray(tt.bp_fail_index) == N)
+    assert np.all(np.asarray(tv.bp_fail_index) == N)
+
+
+def test_select_best_tiled_ignores_nonfinite_trials():
+    """ADVICE r4: a diverged trial's +inf/NaN phi must not poison the
+    best-decrease blend through 0*inf — the best FINITE trial wins."""
+    from altro_tpu.ops.tile_iter import select_best_tiled, select_trial_tiled
+
+    W, Bt = 3, 1
+    phis = jnp.stack([
+        jnp.full((Bt, 8, 128), jnp.inf, jnp.float32),   # alpha=1 overflowed
+        jnp.full((Bt, 8, 128), 2.0, jnp.float32),
+        jnp.full((Bt, 8, 128), 5.0, jnp.float32),
+    ])
+    xstacks = jnp.stack([
+        jnp.full((Bt, 4, 2, 8, 128), jnp.nan, jnp.float32),
+        jnp.full((Bt, 4, 2, 8, 128), 20.0, jnp.float32),
+        jnp.full((Bt, 4, 2, 8, 128), 50.0, jnp.float32),
+    ])
+    alphas = jnp.asarray([1.0, 0.5, 0.25], jnp.float32)
+    alpha, phi, xsel = select_best_tiled(alphas, phis, xstacks)
+    assert np.all(np.asarray(phi) == 2.0)
+    assert np.all(np.asarray(alpha) == 0.5)
+    assert np.all(np.asarray(xsel) == 20.0)
+
+    # first-passing selection: trial 0 diverged (fails), trial 1 passes;
+    # the selected lane values must be finite
+    passes = jnp.stack([
+        jnp.zeros((Bt, 8, 128), bool),
+        jnp.ones((Bt, 8, 128), bool),
+        jnp.ones((Bt, 8, 128), bool),
+    ])
+    found, idx, alpha2, phi2, xsel2 = select_trial_tiled(
+        passes, alphas, phis, xstacks)
+    assert bool(jnp.all(found))
+    assert np.all(np.asarray(idx) == 1)
+    assert np.all(np.asarray(phi2) == 2.0)
+    assert np.all(np.asarray(xsel2) == 20.0)
