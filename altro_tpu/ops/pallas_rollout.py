@@ -26,11 +26,17 @@ Pallas program:
     knot so the accepted trial's payload is reconstructed knot-parallel
     afterwards (solver.light_from_xstack), exactly like the scan path.
 
-Scope (v1): unconstrained problems with DiagonalCost — which covers the
-long-horizon and quadrotor-latency bench rows; constrained problems
-keep the scan grid. Supported sizes: the operand fields must fit 128
-lanes (n + 3(n+m) + m*n + 2 <= 128: bicycle/double integrator/pendulum/
-cartpole/quadrotor all fit).
+Scope: problems with DiagonalCost; constraint groups declared AFFINE
+with NEGATIVE_ORTHANT cones (bounds / boxes / linear halfspaces —
+ConstraintSpec.affine) evaluate their AL merit term IN-KERNEL from
+per-knot coefficient rows (round-5 VERDICT item 2: the reference pays
+zero structural cost for constraints in its solve loop,
+solver.cpp:285-316, and now neither does the fast path). Everything
+else (nonlinear constraints, other cones) keeps the scan grid.
+Supported sizes: the operand fields must fit 128 lanes
+(n + 3(n+m) + m*n + 2 + P*(n+m+1) + 1 <= 128 with P total constraint
+elements: bicycle/double integrator/pendulum/cartpole/quadrotor all
+fit, incl. the steering-bound configs).
 
 Mosaic layout rules follow ops/pallas_packed.py's working notes.
 """
@@ -44,24 +50,76 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["trial_grid_rollout", "rollout_supported", "SUB"]
+__all__ = [
+    "make_trial_grid_rollout",
+    "rollout_supported",
+    "rollout_constraints_eligible",
+    "affine_constraint_stacks",
+    "SUB",
+]
 
 SUB, LANE = 8, 128
 
 
-def _offsets(n: int, m: int):
+def _offsets(n: int, m: int, P: int = 0):
+    fields = [("XREF", n), ("UREF", m), ("D", m), ("K", m * n),
+              ("QD", n), ("QL", n), ("RD", m), ("RL", m), ("C", 1),
+              ("H", 1)]
+    if P:
+        # Affine AL-constraint coefficient fields, premultiplied at the
+        # call boundary: w_e = CG_e - CAX_e.x - CAU_e.u equals
+        # z_e - rho*c_e(x, u); the AL merit adds RHOI * min(0, w_e)^2
+        # (RHOI = 1/(2 rho)). Inactive knots pack all-zero rows.
+        fields += [("CAX", P * n), ("CAU", P * m), ("CG", P), ("RHOI", 1)]
     offs, cur = {}, 0
-    for key, w in [("XREF", n), ("UREF", m), ("D", m), ("K", m * n),
-                   ("QD", n), ("QL", n), ("RD", m), ("RL", m), ("C", 1),
-                   ("H", 1)]:
+    for key, w in fields:
         offs[key] = cur
         cur += w
     return offs, cur
 
 
-def rollout_supported(n: int, m: int) -> bool:
+def rollout_supported(n: int, m: int, P: int = 0) -> bool:
     """True when the per-knot operand fields fit one 128-lane tile."""
-    return _offsets(n, m)[1] <= LANE
+    return _offsets(n, m, P)[1] <= LANE
+
+
+def rollout_constraints_eligible(problem) -> bool:
+    """True when every constraint group can ride the packed rollout
+    kernel: declared affine with a NEGATIVE_ORTHANT cone (the dual
+    projection min(0, .) is elementwise, so the AL merit term is a
+    per-element VPU expression). Unconstrained problems qualify."""
+    from altro_tpu.cones import Cone
+
+    return all(
+        spec.affine and spec.cone is Cone.NEGATIVE_ORTHANT
+        for spec in problem.constraints
+    )
+
+
+def affine_constraint_stacks(problem):
+    """Per-knot affine coefficients of the declared-affine constraint
+    groups, concatenated over groups:
+      cax [N+1, P, n], cau [N+1, P, m], cg [N+1, P], act [N+1, P]
+    with c_e(x, u) = cax_e . x + cau_e . u + cg_e exactly (the
+    ConstraintSpec.affine contract). Extracted once at trace time by
+    evaluating each group's Jacobian/value at (0, 0)."""
+    n, m = problem.n, problem.m
+    dtype = problem.x0.dtype
+    ks = jnp.arange(problem.N + 1, dtype=jnp.int32)
+    xz = jnp.zeros((n,), dtype)
+    uz = jnp.zeros((m,), dtype)
+    AX, AU, G, ACT = [], [], [], []
+    for spec in problem.constraints:
+        J = jax.vmap(lambda k: spec.jacobian(xz, uz, k))(ks)  # [N+1, p, n+m]
+        g = jax.vmap(lambda k: spec.fn(xz, uz, k))(ks)        # [N+1, p]
+        AX.append(J[:, :, :n])
+        AU.append(J[:, :, n:])
+        G.append(g)
+        ACT.append(
+            jnp.broadcast_to(
+                spec.active[:, None], g.shape).astype(dtype))
+    return (jnp.concatenate(AX, axis=1), jnp.concatenate(AU, axis=1),
+            jnp.concatenate(G, axis=1), jnp.concatenate(ACT, axis=1))
 
 
 def _lane_onehot(j, w, dtype=jnp.float32):
@@ -69,7 +127,24 @@ def _lane_onehot(j, w, dtype=jnp.float32):
     return (io == j).astype(dtype)
 
 
-def _kernel(n, m, N, C, offs, step_tile, op_ref, init_ref, term_ref,
+def _al_term(blk, offs, n, m, P, x, u):
+    """In-kernel AL merit add: RHOI * sum_e min(0, w_e)^2 with
+    w_e = CG_e - CAX_e.x - CAU_e.u (= z_e - rho c_e; NEGATIVE_ORTHANT
+    dual projection). u=None at the terminal knot."""
+    alc = jnp.zeros((SUB, 1), jnp.float32)
+    for e in range(P):
+        ax = blk[:, offs["CAX"] + e * n : offs["CAX"] + (e + 1) * n]
+        w = (blk[:, offs["CG"] + e : offs["CG"] + e + 1]
+             - jnp.sum(ax * x, axis=1, keepdims=True))
+        if u is not None:
+            au = blk[:, offs["CAU"] + e * m : offs["CAU"] + (e + 1) * m]
+            w = w - jnp.sum(au * u, axis=1, keepdims=True)
+        pw = jnp.minimum(w, 0.0)
+        alc = alc + pw * pw
+    return blk[:, offs["RHOI"] : offs["RHOI"] + 1] * alc
+
+
+def _kernel(n, m, P, N, C, offs, step_tile, op_ref, init_ref, term_ref,
             x_out_ref, acc_ref, x_scr, phi_scr):
     """One grid step = one chunk of C knots, processed forward. The x
     carry and running phi live in VMEM scratch between grid steps (and
@@ -115,6 +190,8 @@ def _kernel(n, m, N, C, offs, step_tile, op_ref, init_ref, term_ref,
             + jnp.sum(rl * u, axis=1, keepdims=True)
             + cconst
         )
+        if P:
+            phi = phi + _al_term(blk, offs, n, m, P, x, u)
         x_out_ref[0, c, :, :n] = x
         h = blk[:, offs["H"] : offs["H"] + 1]
         x = step_tile(x, u, h)
@@ -134,36 +211,57 @@ def _kernel(n, m, N, C, offs, step_tile, op_ref, init_ref, term_ref,
             + jnp.sum(ql * x, axis=1, keepdims=True)
             + cconst
         )
+        if P:
+            phi_N = phi_N + _al_term(t, offs, n, m, P, x, None)
         acc_ref[:, 0:1] = phi_N
         acc_ref[:, 1 : 1 + n] = x
 
 
-def _pack_operands(xref, uref, K, d, Qd, ql, Rd, rl, cconst, h, offs, used):
+def _pack_operands(xref, uref, K, d, Qd, ql, Rd, rl, cconst, h, offs, used,
+                   con=None):
     """[N, 8, 128] per-knot operand tiles (fields pre-broadcast across
-    sublanes) + the [1, 8, 128] terminal tile."""
+    sublanes) + the [1, 8, 128] terminal tile. `con` is the optional
+    (wa [N+1, P, n], wu [N+1, P, m], wg [N+1, P], rhoi scalar) affine
+    AL-constraint bundle (already active-masked and rho-premultiplied)."""
     N, m, n = K.shape
     f32 = jnp.float32
-    row = jnp.concatenate(
-        [
-            xref[:N].astype(f32),
-            uref.astype(f32),
-            d.astype(f32),
-            K.reshape(N, m * n).astype(f32),
-            Qd[:N].astype(f32),
-            ql[:N].astype(f32),
-            Rd[:N].astype(f32),
-            rl[:N].astype(f32),
-            cconst[:N, None].astype(f32),
-            h[:, None].astype(f32),
-        ],
-        axis=1,
-    )
+    cols = [
+        xref[:N].astype(f32),
+        uref.astype(f32),
+        d.astype(f32),
+        K.reshape(N, m * n).astype(f32),
+        Qd[:N].astype(f32),
+        ql[:N].astype(f32),
+        Rd[:N].astype(f32),
+        rl[:N].astype(f32),
+        cconst[:N, None].astype(f32),
+        h[:, None].astype(f32),
+    ]
+    if con is not None:
+        wa, wu, wg, rhoi = con
+        P = wg.shape[1]
+        cols += [
+            wa[:N].reshape(N, P * n).astype(f32),
+            wu[:N].reshape(N, P * m).astype(f32),
+            wg[:N].astype(f32),
+            jnp.broadcast_to(
+                jnp.asarray(rhoi, f32).reshape(1, 1), (N, 1)),
+        ]
+    row = jnp.concatenate(cols, axis=1)
     row = jnp.pad(row, ((0, 0), (0, LANE - used)))
     packed = jnp.broadcast_to(row[:, None, :], (N, SUB, LANE))
     trow = jnp.zeros((LANE,), f32)
     trow = trow.at[offs["QD"] : offs["QD"] + n].set(Qd[N].astype(f32))
     trow = trow.at[offs["QL"] : offs["QL"] + n].set(ql[N].astype(f32))
     trow = trow.at[offs["C"]].set(cconst[N].astype(f32))
+    if con is not None:
+        P = con[2].shape[1]
+        trow = trow.at[offs["CAX"] : offs["CAX"] + P * n].set(
+            con[0][N].reshape(P * n).astype(f32))
+        trow = trow.at[offs["CG"] : offs["CG"] + P].set(
+            con[2][N].astype(f32))
+        trow = trow.at[offs["RHOI"]].set(
+            jnp.asarray(con[3], f32).reshape(()))
     term = jnp.broadcast_to(trow[None, None, :], (1, SUB, LANE))
     return packed, term
 
@@ -183,19 +281,26 @@ def _pick_chunk(N: int) -> int:
 
 
 def _scan_rollout(step_tile, alphas, x0, xref, uref, K, d, Qd, ql, Rd, rl,
-                  cconst, h):
+                  cconst, h, con=None):
     """Portable fallback: the same trial-grid rollout as a lax.scan with
     the W trials riding a leading tile axis (the tile-step protocol is
-    plain jnp code, so it runs outside Pallas too). Any dtype/backend."""
+    plain jnp code, so it runs outside Pallas too). Any dtype/backend.
+    `con` as in _pack_operands."""
     N, m, n = K.shape
     dtype = x0.dtype
     W = alphas.shape[0]
     x = jnp.broadcast_to(x0, (W, n)).astype(dtype)
     a_col = alphas[:, None].astype(dtype)
+    if con is not None:
+        wa, wu, wg, rhoi = con
+        rhoi = jnp.asarray(rhoi, dtype)
 
     def body(carry, inp):
         x, phi = carry
-        xr, ur, K_k, d_k, qd, qlv, rd, rlv, cc, h_k = inp
+        if con is not None:
+            xr, ur, K_k, d_k, qd, qlv, rd, rlv, cc, h_k, wa_k, wu_k, wg_k = inp
+        else:
+            xr, ur, K_k, d_k, qd, qlv, rd, rlv, cc, h_k = inp
         dx = x - xr[None, :]
         u = ur[None, :] + a_col * d_k[None, :] - dx @ K_k.T
         phi = (
@@ -206,13 +311,19 @@ def _scan_rollout(step_tile, alphas, x0, xref, uref, K, d, Qd, ql, Rd, rl,
             + jnp.sum(rlv[None, :] * u, axis=1)
             + cc
         )
+        if con is not None:
+            w = wg_k[None, :] - x @ wa_k.T - u @ wu_k.T  # [W, P]
+            pw = jnp.minimum(w, 0.0)
+            phi = phi + rhoi * jnp.sum(pw * pw, axis=1)
         x_next = step_tile(x, u, jnp.broadcast_to(h_k, (W, 1)).astype(dtype))
         return (x_next, phi), x
 
+    xs_in = (xref[:N], uref, K, d, Qd[:N], ql[:N], Rd[:N], rl[:N],
+             cconst[:N], h)
+    if con is not None:
+        xs_in = xs_in + (wa[:N], wu[:N], wg[:N])
     (x_N, phi), x_st = jax.lax.scan(
-        body,
-        (x, jnp.zeros((W,), dtype)),
-        (xref[:N], uref, K, d, Qd[:N], ql[:N], Rd[:N], rl[:N], cconst[:N], h),
+        body, (x, jnp.zeros((W,), dtype)), xs_in,
     )
     phi = (
         phi
@@ -220,54 +331,69 @@ def _scan_rollout(step_tile, alphas, x0, xref, uref, K, d, Qd, ql, Rd, rl,
         + jnp.sum(ql[N][None, :] * x_N, axis=1)
         + cconst[N]
     )
+    if con is not None:
+        w = wg[N][None, :] - x_N @ wa[N].T
+        pw = jnp.minimum(w, 0.0)
+        phi = phi + rhoi * jnp.sum(pw * pw, axis=1)
     xs = jnp.concatenate([x_st, x_N[None]], axis=0)  # [N+1, W, n]
     return phi, jnp.swapaxes(xs, 0, 1)
 
 
-def make_trial_grid_rollout(step_tile, interpret=False):
+def make_trial_grid_rollout(step_tile, interpret=False, n_con=0):
     """Build the grid-rollout callable for one tile-step function.
 
     Returns grid(alphas[W], x0, xref, uref, K, d, Qd, ql, Rd, rl, c, h)
-    -> (phis[W], xstack[W, N+1, n]). Unbatched f32 traces on a TPU
-    backend (or with interpret=True) run the packed Pallas kernel; any
-    other trace — CPU, f64, or a vmapped (batched) solve — falls back to
-    the portable scan, whose values the kernel matches to f32 roundoff
+    -> (phis[W], xstack[W, N+1, n]). With n_con = P > 0 the signature
+    gains (wa [N+1, P, n], wu [N+1, P, m], wg [N+1, P], rhoi scalar) —
+    the active-masked, rho-premultiplied affine AL-constraint bundle
+    (w_e = wg - wa.x - wu.u = z - rho*c; merit adds
+    rhoi * sum min(0, w)^2). Unbatched f32 traces on a TPU backend (or
+    with interpret=True) run the packed Pallas kernel; any other trace
+    — CPU, f64, or a vmapped (batched) solve — falls back to the
+    portable scan, whose values the kernel matches to f32 roundoff
     (tests/test_pallas_rollout.py).
     """
 
     @jax.custom_batching.custom_vmap
-    def grid(alphas, x0, xref, uref, K, d, Qd, ql, Rd, rl, cconst, h):
+    def grid(alphas, x0, xref, uref, K, d, Qd, ql, Rd, rl, cconst, h, *con):
         N, m, n = K.shape
         from altro_tpu.ops.packed_backward import _on_tpu
 
+        cb = (con[0], con[1], con[2], con[3]) if n_con else None
         if ((interpret or _on_tpu()) and x0.dtype == jnp.float32
-                and alphas.shape[0] <= SUB and rollout_supported(n, m)):
+                and alphas.shape[0] <= SUB
+                and rollout_supported(n, m, n_con)):
             return _pallas_rollout(
                 step_tile, alphas, x0, xref, uref, K, d, Qd, ql, Rd, rl,
-                cconst, h, interpret=interpret)
+                cconst, h, con=cb, interpret=interpret)
         return _scan_rollout(step_tile, alphas, x0, xref, uref, K, d, Qd,
-                             ql, Rd, rl, cconst, h)
+                             ql, Rd, rl, cconst, h, con=cb)
 
     @grid.def_vmap
     def _vmap_rule(axis_size, in_batched, *args):
         in_axes = [0 if b else None for b in in_batched]
-        out = jax.vmap(
-            functools.partial(_scan_rollout, step_tile), in_axes=in_axes
-        )(*args)
+
+        def call(*a):
+            base, con = a[:12], a[12:]
+            cb = (con[0], con[1], con[2], con[3]) if n_con else None
+            return _scan_rollout(step_tile, *base, con=cb)
+
+        out = jax.vmap(call, in_axes=in_axes)(*args)
         return out, (True, True)
 
     return grid
 
 
 def _pallas_rollout(step_tile, alphas, x0, xref, uref, K, d, Qd, ql, Rd, rl,
-                    cconst, h, interpret=False):
+                    cconst, h, con=None, interpret=False):
     N, m, n = K.shape
     dtype = x0.dtype
     W = alphas.shape[0]
-    offs, used = _offsets(n, m)
+    P = 0 if con is None else con[2].shape[1]
+    offs, used = _offsets(n, m, P)
     C = _pick_chunk(N)
     packed, term = _pack_operands(
-        xref, uref, K, d, Qd, ql, Rd, rl, cconst, h, offs, used)
+        xref, uref, K, d, Qd, ql, Rd, rl, cconst, h, offs, used, con=con)
     packed = packed.reshape(N // C, C, SUB, LANE)
 
     a_pad = jnp.zeros((SUB,), jnp.float32).at[:W].set(alphas.astype(jnp.float32))
@@ -277,7 +403,7 @@ def _pallas_rollout(step_tile, alphas, x0, xref, uref, K, d, Qd, ql, Rd, rl,
     )
     init = jnp.pad(init_row, ((0, 0), (0, LANE - 1 - n)))[None]
 
-    kern = functools.partial(_kernel, n, m, N, C, offs, step_tile)
+    kern = functools.partial(_kernel, n, m, P, N, C, offs, step_tile)
     x_out, acc = pl.pallas_call(
         kern,
         grid=(N // C,),

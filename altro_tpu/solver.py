@@ -758,6 +758,27 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
     convals0 = _trajectory_convals(problem, x_init, state.u)
     A0, B0 = dynamics_expansions(problem, x_init, state.u)
 
+    # Affine-constraint coefficient stacks for the packed trial-rollout
+    # kernel (loop-invariant; extracted once here so the while_loop body
+    # closes over constants). None when any group is ineligible — the
+    # grid then falls back to the constraint-general scan rollout.
+    rollout_con = None
+    if (
+        opts.pallas_rollout
+        and problem.dynamics_tile is not None
+        and isinstance(problem.cost, DiagonalCost)
+        and problem.constraints
+    ):
+        from altro_tpu.ops.pallas_rollout import (
+            affine_constraint_stacks,
+            rollout_constraints_eligible,
+        )
+
+        if rollout_constraints_eligible(problem):
+            _ax, _au, _g, _act = affine_constraint_stacks(problem)
+            rollout_con = (_ax * _act[..., None], _au * _act[..., None],
+                           _g, _act)
+
     if opts.verbose > Verbosity.SILENT:  # solver.cpp:438-441
         debug_print(
             "STARTING ALTRO iLQR SOLVE....\n  Initial Cost: {c}",
@@ -887,27 +908,42 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
                         # (phi, xstack) carrier as merit_light, so the
                         # reconstruct path is shared; non-TPU/f64/
                         # batched traces fall back inside the callable.
+                        # Affine NEGATIVE_ORTHANT constraint groups ride
+                        # the kernel via the AL-term hook (rollout_con).
                         merit_grid = None
                         if (
                             opts.pallas_rollout
                             and problem.dynamics_tile is not None
-                            and not problem.constraints
                             and isinstance(problem.cost, DiagonalCost)
+                            and (not problem.constraints
+                                 or rollout_con is not None)
                         ):
                             from altro_tpu.ops.pallas_rollout import (
                                 make_trial_grid_rollout,
                             )
 
+                            _P_con = sum(
+                                spec.dim for spec in problem.constraints)
                             _grid = make_trial_grid_rollout(
-                                problem.dynamics_tile)
+                                problem.dynamics_tile, n_con=_P_con)
                             _cost = problem.cost
 
                             def merit_grid(alphas, c=c, gains=gains):
-                                return _grid(
+                                args = (
                                     alphas, problem.x0, c.x, c.u,
                                     gains.K, gains.d, _cost.Q, _cost.q,
                                     _cost.R, _cost.r, _cost.c, problem.h,
                                 )
+                                if _P_con:
+                                    axm, aum, g_raw, act = rollout_con
+                                    cz = jnp.concatenate(c.z, axis=1)
+                                    args = args + (
+                                        c.rho * axm,
+                                        c.rho * aum,
+                                        (cz - c.rho * g_raw) * act,
+                                        1.0 / (2.0 * c.rho),
+                                    )
+                                return _grid(*args)
                     else:
                         merit_grid = None
 

@@ -249,6 +249,45 @@ def child_main():
         pallas_backward=use_pallas,
     )
 
+    # Two-tier failed-lane rescue (round 5): after the standard-budget
+    # resolve, lanes whose status != SUCCESS are re-solved from their
+    # carried (post-main) state at the big budget the round-4 frontier
+    # study proved sufficient (iterations_max=40-class, unlimited
+    # recovery, best-decrease fallback -> 99.84%). The rescue is gated
+    # per tick on a SCALAR any-lane-failed predicate via lax.cond:
+    # failures cluster in ~16% of ticks (the per-lane dump shows
+    # 168/200 ticks have ZERO failures and 99.6% of failures sit in 20
+    # ticks), so 84% of ticks pay nothing. Healthy lanes keep their
+    # main-solve state bit-for-bit (per-lane merge); rescued lanes
+    # carry the rescued state forward, which also kills the observed
+    # failure cascades (P(fail t+1 | fail t) = 17% in the dump).
+    # Reference oracle being chased: 200/200 resolves converge
+    # (bicycle_test.cpp:302-337) at an 80-iteration f64 budget.
+    rescue = (not rti) and os.environ.get("ALTRO_BENCH_RESCUE", "1") == "1"
+    rescue_iters = int(os.environ.get("ALTRO_BENCH_RESCUE_ITERS", "10"))
+    # Penalty boost on rescue entry: failed lanes are mostly pinned at
+    # f32-stationary points of the CURRENT merit landscape (the round-4
+    # fallback probe proved no merit-decreasing trial exists there); the
+    # unlock is dual/penalty reshaping, so the rescue enters with
+    # rho *= boost instead of waiting for stat < sqrt(tol) triggers.
+    rescue_boost = float(os.environ.get("ALTRO_BENCH_RESCUE_RHO_BOOST", "1"))
+    # Recovery cap inside the rescue: a hopeless grinder (every rescue
+    # iteration a line-search failure) stops after cap consecutive
+    # fails, so the lockstep while_loop exits as soon as the
+    # convergeable lanes finish instead of paying the full budget for
+    # lanes that will not converge anyway. (Measured: rho_boost > 1 is
+    # catastrophic — over-penalized rescues destabilize the closed loop
+    # to 82.5% success / 7.0 tracking error — keep it at 1.)
+    rescue_cap = int(os.environ.get("ALTRO_BENCH_RESCUE_CAP", "3"))
+    opts_rescue = opts.replace(
+        iterations_max=rescue_iters,
+        ls_failure_recovery=True,
+        ls_recovery_max_fails=rescue_cap,
+        ls_best_decrease_fallback=True,
+        penalty_warm_start=True,
+        penalty_warm_start_decay=rescue_boost,
+    )
+
     # Sliding tracking windows (shared across lanes), precomputed on host
     xw = np.stack([ref.x[t : t + N + 1] for t in range(NSIM + 1)])  # [NSIM+1, N+1, n]
     qs = jnp.asarray(-(Qd[None, None, :] * xw), dtype)
@@ -320,6 +359,28 @@ def child_main():
                 x0=x_true_t,
             )
             st_t, stats = tsv.solve_tiled(prob_t, prob_axes, st_t, opts)
+            if rescue:
+                failed = stats.status != 0
+
+                def do_rescue(st_in):
+                    st_r, stats_r = tsv.solve_tiled(
+                        prob_t, prob_axes, st_in, opts_rescue)
+                    st_m = jax.tree.map(
+                        lambda r, m: tsv._lane_where(failed, r, m)
+                        if r.ndim >= 3 else jnp.where(failed, r, m),
+                        st_r, st_in)
+                    iters_m = stats.iterations + jnp.where(
+                        failed, stats_r.iterations, 0)
+                    status_m = jnp.where(failed, stats_r.status, stats.status)
+                    return st_m, iters_m, status_m
+
+                def no_rescue(st_in):
+                    return st_in, stats.iterations, stats.status
+
+                st_t, iters_t, status_t = jax.lax.cond(
+                    jnp.any(failed), do_rescue, no_rescue, st_t)
+                stats = dataclasses.replace(
+                    stats, iterations=iters_t, status=status_t)
             u0 = st_t.u[:, 0]
             x_true_t = dyn_tiled(x_true_t, u0)
             st_t = tsv.shift_trajectory_tiled(st_t)
@@ -342,6 +403,11 @@ def child_main():
 
     else:
 
+        def resolve_one_rescue(x0, q, c, state):
+            cost = dataclasses.replace(problem.cost, q=q, c=c)
+            prob = dataclasses.replace(problem, x0=x0, cost=cost)
+            return solve(prob, state, opts_rescue)
+
         def tick(carry, t):
             from altro_tpu.mpc import shift_trajectory
 
@@ -349,6 +415,28 @@ def child_main():
             q_t = jnp.broadcast_to(qs[t], (B,) + qs[t].shape)
             c_t = jnp.broadcast_to(cs[t], (B,) + cs[t].shape)
             states, stats = jax.vmap(resolve_one)(x_true, q_t, c_t, states)
+            if rescue:
+                failed = stats.status != 0
+
+                def do_rescue(st_in):
+                    st_r, stats_r = jax.vmap(resolve_one_rescue)(
+                        x_true, q_t, c_t, st_in)
+                    st_m = jax.tree.map(
+                        lambda r, m: jnp.where(
+                            failed.reshape((B,) + (1,) * (r.ndim - 1)), r, m),
+                        st_r, st_in)
+                    iters_m = stats.iterations + jnp.where(
+                        failed, stats_r.iterations, 0)
+                    status_m = jnp.where(failed, stats_r.status, stats.status)
+                    return st_m, iters_m, status_m
+
+                def no_rescue(st_in):
+                    return st_in, stats.iterations, stats.status
+
+                states, iters_t, status_t = jax.lax.cond(
+                    jnp.any(failed), do_rescue, no_rescue, states)
+                stats = dataclasses.replace(
+                    stats, iterations=iters_t, status=status_t)
             u0 = states.u[:, 0]
             x_true = jax.vmap(lambda x, u: dyn(x, u, jnp.asarray(h, dtype), 0))(x_true, u0)
             states = jax.vmap(shift_trajectory)(states)

@@ -64,11 +64,12 @@ def main():
             jnp.asarray(ref.u[: N + 1], dtype)),
         h=jnp.full(N, h, dtype), x0=jnp.asarray(ref.x[0], dtype),
         dynamics_tile=midpoint_tile(bicycle_tile()))
-    state0 = init_state(problem)
-    state0 = dataclasses.replace(
-        state0,
-        u=jnp.tile(jnp.asarray([ref.u[0][0], 0.0], dtype), (N, 1)),
-        x=jnp.asarray(ref.x[: N + 1], dtype))
+    def make_state(prob):
+        st = init_state(prob)
+        return dataclasses.replace(
+            st,
+            u=jnp.tile(jnp.asarray([ref.u[0][0], 0.0], dtype), (N, 1)),
+            x=jnp.asarray(ref.x[: N + 1], dtype))
     base = dict(
         iterations_max=20, tol_stationarity=1e-3,
         tol_primal_feasibility=1e-3, throw_errors=False,
@@ -76,20 +77,41 @@ def main():
         parallel_linesearch=True, ls_phase_split=True,
         ls_try_cubic_first=False, ls_armijo_only=True, ls_max_iters=24)
 
+    # Constrained variant (round-5 VERDICT item 2): steering-angle bound
+    # riding the packed kernels through the affine AL-term hook
+    # (ConstraintSpec.affine; ops/pallas_rollout.py). The reference pays
+    # zero structural cost for constraints in its solve loop
+    # (solver.cpp:285-316); the "both_bound" row pins this path's cost.
+    from altro_tpu.cones import Cone
+    from altro_tpu.problem import ConstraintSpec
+
+    delta_max = 60 * np.pi / 180.0
+    steering = ConstraintSpec(
+        fn=lambda x, u, k: jnp.stack([x[3] - delta_max, -delta_max - x[3]]),
+        cone=Cone.NEGATIVE_ORTHANT, dim=2, active=jnp.ones(N + 1, bool),
+        label="steering bound", diag_hessian=True, affine=True)
+    problem_con = dataclasses.replace(problem, constraints=(steering,))
+
     variants = [
         ("scan", dict(pallas_latency_backward=False, pallas_rollout=False)),
         ("backward", dict(pallas_latency_backward=True,
                           pallas_rollout=False)),
         ("both", dict(pallas_latency_backward=True, pallas_rollout=True)),
+        ("both_bound", dict(pallas_latency_backward=True,
+                            pallas_rollout=True)),
+        ("scan_bound", dict(pallas_latency_backward=False,
+                            pallas_rollout=False)),
     ]
     for label, kw in variants:
+        prob = problem_con if label.endswith("_bound") else problem
         opts = SolverOptions(**base, **kw)
         # close over problem/opts exactly like scripts/bench_all.run —
         # problem data bakes into the program as constants; passing the
         # pytree as an argument instead streams it through the remote
         # tunnel EVERY call and dominates the measurement (~60 ms at
         # N=500 — measured round 4)
-        fn = jax.jit(lambda s, _o=opts: solve(problem, s, _o))
+        fn = jax.jit(lambda s, _p=prob, _o=opts: solve(_p, s, _o))
+        state0 = make_state(prob)
         t0 = time.perf_counter()
         out = jax.block_until_ready(fn(state0))
         compile_s = time.perf_counter() - t0
