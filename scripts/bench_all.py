@@ -589,6 +589,7 @@ def main():
         cs_o_ = 0.5 * np.sum(Qd_o[None, None, :] * xw_o * xw_o, axis=2)
         cs_o_[:, :No] += 0.5 * float(ref.u[0] @ (Rd_o * ref.u[0]))
         cs_o = jnp.asarray(cs_o_, dtype)
+        xw0_dev = jnp.asarray(xw_o[:, 0, :2], dtype)  # [ONSIM+1, 2]
         key_o = jax.random.PRNGKey(7)
         ox0 = jnp.asarray(ref.x[0], dtype)[None, :] + 0.02 * jax.random.normal(
             key_o, (Bo, 4), dtype)
@@ -617,8 +618,7 @@ def main():
                 (x_true[:, 0] - c_obs[0]) ** 2
                 + (x_true[:, 1] - c_obs[1]) ** 2)
             err = jnp.linalg.norm(
-                x_true[:, :2] - jnp.asarray(xw_o[t + 1, 0, :2], dtype)[None],
-                axis=1)
+                x_true[:, :2] - xw0_dev[t + 1][None], axis=1)
             return (x_true, states), (stats.status, dist, err)
 
         @jax.jit
