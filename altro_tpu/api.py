@@ -423,7 +423,10 @@ class ALTROSolver:
         self._constraints.append(
             ConstraintSpec(fn=fn, cone=Cone.NEGATIVE_ORTHANT, dim=2 * dim,
                            active=jnp.asarray(active), label=label,
-                           diag_hessian=True)  # Jacobian rows are +-e_i
+                           # Jacobian rows are +-e_i: diagonal AL Hessian
+                           # AND affine — rides the packed trial-rollout
+                           # kernel's in-kernel AL term (pallas_rollout)
+                           diag_hessian=True, affine=True)
         )
         return self
 
