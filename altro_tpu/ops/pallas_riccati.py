@@ -70,18 +70,44 @@ SUB, LANE = 8, 128
 BATCH_TILE = SUB * LANE  # 1024 lanes per batch tile
 
 
-def _kernel(n, m, N, bt, diag_cost, with_f, with_lux, symmetrize, *refs):
-    """One grid step = one knot (k = N-1-program_id(1)) of one batch tile.
+def _pick_chunk(N: int, tiles_per_knot: int, interpret: bool = False) -> int:
+    """Knots per grid step: amortize the ~2.5 us Mosaic grid-step
+    overhead (dominant at 1 knot/step: chunking measured the tiled
+    backward 169.6 -> 74.3 us at B=2048/N=30, scripts/roofline.py round
+    5) against the streamed block size — cap so one double-buffered
+    chunk stays under ~4 MB of VMEM per side. Override:
+    ALTRO_TILED_CHUNK. Interpret mode defaults to 1 (the interpreter
+    pays minutes compiling the unrolled multi-knot body; the chunked
+    path is covered by the on-device parity tests and a small
+    interpret case with an explicit override)."""
+    import os
 
-    Streamed refs hold that knot's blocks of (8,128) lane tiles. Operand
-    order: A, B, [f], lxx, luu, [lux], lx, lu, lxxT, lxT, reg, then
-    outputs K, d, P, p, dV, flags, then scratch Pc, pc. With bt=False the
-    blocks are (1, 1, *entry_dims, 8, 128) (batch-tile index leading);
-    with bt=True they are (1, *entry_dims, 1, 8, 128) (knot leading,
-    batch-tile index trailing). dV/flags accumulate in place at a
-    constant block index: [1, 2, 8, 128] resp. [2, 1, 8, 128].
-    Scratch carry: Pc [n, n, 8, 128], pc [n, 8, 128] — persists across
-    the sequential knot grid, re-initialized at each tile's first step.
+    default = "1" if interpret else "6"
+    cap = int(os.environ.get("ALTRO_TILED_CHUNK", default))
+    vmem_cap = max(1, int(4e6 // (tiles_per_knot * SUB * LANE * 4)))
+    for c in (6, 5, 4, 3, 2):
+        if c <= min(cap, vmem_cap) and N % c == 0:
+            return c
+    return 1
+
+
+def _kernel(n, m, N, C, diag_cost, with_f, with_lux, symmetrize, *refs):
+    """One grid step = one CHUNK of C knots of one batch tile, processed
+    backward (grid step s covers knots [C*(N/C-1-s), C*(N/C-1-s)+C),
+    inner loop cc = C-1..0 so knots decrease).
+
+    Chunking rationale (round 5, same as ops/pallas_packed.py): at one
+    knot per grid step the ~2.5 us Mosaic grid-step overhead dominated
+    the kernel (60 steps ~= 150 us of the measured 169.6 us at
+    B=2048/N=30 — scripts/roofline.py put the kernel at 11.7% of HBM
+    peak). Within a chunk the (P, p) carry stays in registers; VMEM
+    scratch carries it across grid steps.
+
+    Streamed refs hold the chunk's blocks of (8,128) lane tiles,
+    (1, C, *entry_dims, 8, 128) each. Operand order: A, B, [f], lxx,
+    luu, [lux], lx, lu, lxxT, lxT, reg, then outputs K, d, P, p, dV,
+    flags, then scratch Pc, pc. dV/flags accumulate in place at a
+    constant block index ([1, 2, 8, 128]).
     """
     it = iter(refs)
     A_ref, B_ref = next(it), next(it)
@@ -94,29 +120,13 @@ def _kernel(n, m, N, bt, diag_cost, with_f, with_lux, symmetrize, *refs):
         next(it), next(it), next(it), next(it), next(it), next(it),
         next(it), next(it))
 
-    if bt:
-        def ld(ref, *idx):
-            return ref[(0,) + idx + (0,)]
+    def acc_at(ref, j):  # dV/flags: [1, 2, 8, 128] blocks
+        return (0, j)
 
-        def st(ref, val, *idx):
-            ref[(0,) + idx + (0,)] = val
-
-        def acc_at(ref, j):  # dV/flags: [2, 1, 8, 128] blocks
-            return (j, 0)
-    else:
-        def ld(ref, *idx):
-            return ref[(0, 0) + idx]
-
-        def st(ref, val, *idx):
-            ref[(0, 0) + idx] = val
-
-        def acc_at(ref, j):  # dV/flags: [1, 2, 8, 128] blocks
-            return (0, j)
-
-    def lxx_at(ref, i, j):
+    def lxxT_at(i, j):
         if diag_cost:
-            return ld(ref, i) if i == j else None
-        return ld(ref, i, j)
+            return lxxT_ref[(0, 0, i)] if i == j else None
+        return lxxT_ref[(0, 0, i, j)]
 
     step = pl.program_id(1)
 
@@ -124,147 +134,172 @@ def _kernel(n, m, N, bt, diag_cost, with_f, with_lux, symmetrize, *refs):
     def _init():
         for i in range(n):
             for j in range(n):
-                v = lxx_at(lxxT_ref, i, j)
+                v = lxxT_at(i, j)
                 Pc[i, j] = jnp.zeros((SUB, LANE), jnp.float32) if v is None else v
-            pc[i] = ld(lxT_ref, i)
+            pc[i] = lxT_ref[(0, 0, i)]
         dV_ref[acc_at(dV_ref, 0)] = jnp.zeros((SUB, LANE), jnp.float32)
         dV_ref[acc_at(dV_ref, 1)] = jnp.zeros((SUB, LANE), jnp.float32)
         flags_ref[acc_at(flags_ref, 0)] = jnp.ones((SUB, LANE), jnp.float32)
         flags_ref[acc_at(flags_ref, 1)] = jnp.full((SUB, LANE), float(N), jnp.float32)
 
-    a = [[ld(A_ref, i, j) for j in range(n)] for i in range(n)]
-    b = [[ld(B_ref, i, j) for j in range(m)] for i in range(n)]
+    reg = reg_ref[(0, 0)]
     Pn = [[Pc[i, j] for j in range(n)] for i in range(n)]
     pn = [pc[i] for i in range(n)]
+    dV0 = dV_ref[acc_at(dV_ref, 0)]
+    dV1 = dV_ref[acc_at(dV_ref, 1)]
+    ok_run = flags_ref[acc_at(flags_ref, 0)]
+    fail = flags_ref[acc_at(flags_ref, 1)]
 
-    # AtP = A^T P', BtP = B^T P'
-    AtP = [[sum(a[l][i] * Pn[l][j] for l in range(n)) for j in range(n)]
-           for i in range(n)]
-    BtP = [[sum(b[l][i] * Pn[l][j] for l in range(n)) for j in range(n)]
-           for i in range(m)]
+    for cc in reversed(range(C)):
+        def ld(ref, *idx):
+            return ref[(0, cc) + idx]
 
-    def plus(base, extra):
-        return extra if base is None else base + extra
+        def st(ref, val, *idx):
+            ref[(0, cc) + idx] = val
 
-    Qxx = [[plus(lxx_at(lxx_ref, i, j),
-                 sum(AtP[i][l] * a[l][j] for l in range(n)))
-            for j in range(n)] for i in range(n)]
-    Quu = [[plus(lxx_at(luu_ref, i, j),
-                 sum(BtP[i][l] * b[l][j] for l in range(n)))
-            for j in range(m)] for i in range(m)]
-    if with_lux:
-        Qux = [[ld(lux_ref, i, j) + sum(BtP[i][l] * a[l][j] for l in range(n))
-                for j in range(n)] for i in range(m)]
-    else:
-        Qux = [[sum(BtP[i][l] * a[l][j] for l in range(n))
-                for j in range(n)] for i in range(m)]
-    if with_f:
-        fv = [ld(f_ref, i) for i in range(n)]
-        t = [sum(Pn[i][l] * fv[l] for l in range(n)) + pn[i] for i in range(n)]
-    else:
-        t = pn
-    Qx = [ld(lx_ref, i) + sum(a[l][i] * t[l] for l in range(n)) for i in range(n)]
-    Qu = [ld(lu_ref, i) + sum(b[l][i] * t[l] for l in range(n)) for i in range(m)]
+        def lxx_at(ref, i, j):
+            if diag_cost:
+                return ld(ref, i) if i == j else None
+            return ld(ref, i, j)
 
-    # Unrolled Cholesky of Quu + reg I, per lane
-    # (reg carries a dummy entry axis in bt layout so the accessor needs
-    # one index there; the batch-major tile has no entry axis)
-    reg = ld(reg_ref, 0) if bt else ld(reg_ref)
-    L = [[None] * m for _ in range(m)]
-    ok_knot = jnp.ones((SUB, LANE), jnp.float32)
-    for j in range(m):
-        diag = Quu[j][j] + reg
-        for kk in range(j):
-            diag = diag - L[j][kk] * L[j][kk]
-        pos = (diag > 0.0).astype(jnp.float32)
-        ok_knot = ok_knot * pos
-        ljj = jnp.sqrt(jnp.maximum(diag, 1e-30))
-        L[j][j] = ljj
-        inv = 1.0 / ljj
-        for i in range(j + 1, m):
-            s = Quu[i][j]
+        a = [[ld(A_ref, i, j) for j in range(n)] for i in range(n)]
+        b = [[ld(B_ref, i, j) for j in range(m)] for i in range(n)]
+
+        # AtP = A^T P', BtP = B^T P'
+        AtP = [[sum(a[l][i] * Pn[l][j] for l in range(n)) for j in range(n)]
+               for i in range(n)]
+        BtP = [[sum(b[l][i] * Pn[l][j] for l in range(n)) for j in range(n)]
+               for i in range(m)]
+
+        def plus(base, extra):
+            return extra if base is None else base + extra
+
+        Qxx = [[plus(lxx_at(lxx_ref, i, j),
+                     sum(AtP[i][l] * a[l][j] for l in range(n)))
+                for j in range(n)] for i in range(n)]
+        Quu = [[plus(lxx_at(luu_ref, i, j),
+                     sum(BtP[i][l] * b[l][j] for l in range(n)))
+                for j in range(m)] for i in range(m)]
+        if with_lux:
+            Qux = [[ld(lux_ref, i, j)
+                    + sum(BtP[i][l] * a[l][j] for l in range(n))
+                    for j in range(n)] for i in range(m)]
+        else:
+            Qux = [[sum(BtP[i][l] * a[l][j] for l in range(n))
+                    for j in range(n)] for i in range(m)]
+        if with_f:
+            fv = [ld(f_ref, i) for i in range(n)]
+            t = [sum(Pn[i][l] * fv[l] for l in range(n)) + pn[i]
+                 for i in range(n)]
+        else:
+            t = pn
+        Qx = [ld(lx_ref, i) + sum(a[l][i] * t[l] for l in range(n))
+              for i in range(n)]
+        Qu = [ld(lu_ref, i) + sum(b[l][i] * t[l] for l in range(n))
+              for i in range(m)]
+
+        # Unrolled Cholesky of Quu + reg I, per lane
+        L = [[None] * m for _ in range(m)]
+        ok_knot = jnp.ones((SUB, LANE), jnp.float32)
+        for j in range(m):
+            diag = Quu[j][j] + reg
             for kk in range(j):
-                s = s - L[i][kk] * L[j][kk]
-            L[i][j] = s * inv
-    flags_ref[acc_at(flags_ref, 0)] = flags_ref[acc_at(flags_ref, 0)] * ok_knot
-    # smallest failing knot: backward order visits decreasing k, so the
-    # last overwrite wins (== the min); N when no failure. Carried in an
-    # f32 tile, exact for N < 2**24 (far above any realistic horizon).
-    k_f = (N - 1 - step).astype(jnp.float32)
-    flags_ref[acc_at(flags_ref, 1)] = jnp.where(
-        ok_knot < 0.5, k_f, flags_ref[acc_at(flags_ref, 1)])
-    # per-knot select, NOT a multiply: the guarded factorization of a
-    # failed Quu can overflow to inf and 0*inf = NaN would poison the
-    # carry for every remaining knot; where() selects 0 cleanly and the
-    # recursion continues with P = Qxx — same semantics as the scan
-    # (tvlqr.py: K_k = where(ok_k, sol, 0)), so failed-lane histories and
-    # fail_index match it exactly
-    okb = ok_knot > 0.5
+                diag = diag - L[j][kk] * L[j][kk]
+            pos = (diag > 0.0).astype(jnp.float32)
+            ok_knot = ok_knot * pos
+            ljj = jnp.sqrt(jnp.maximum(diag, 1e-30))
+            L[j][j] = ljj
+            inv = 1.0 / ljj
+            for i in range(j + 1, m):
+                s = Quu[i][j]
+                for kk in range(j):
+                    s = s - L[i][kk] * L[j][kk]
+                L[i][j] = s * inv
+        ok_run = ok_run * ok_knot
+        # smallest failing knot: backward order visits decreasing k, so
+        # the last overwrite wins (== the min); N when no failure.
+        # Carried in an f32 tile, exact for N < 2**24.
+        k_f = (C * ((N // C) - 1 - step) + cc).astype(jnp.float32)
+        fail = jnp.where(ok_knot < 0.5, k_f, fail)
+        # per-knot select, NOT a multiply: the guarded factorization of a
+        # failed Quu can overflow to inf and 0*inf = NaN would poison the
+        # carry for every remaining knot; where() selects 0 cleanly and
+        # the recursion continues with P = Qxx — same semantics as the
+        # scan (tvlqr.py: K_k = where(ok_k, sol, 0)), so failed-lane
+        # histories and fail_index match it exactly
+        okb = ok_knot > 0.5
 
-    # Solve (L L^T) [K | d] = [Qux | -Qu]
-    def chol_solve(cols):
-        # cols: list over m of [8,128] rows (one RHS)
-        y = list(cols)
-        for i in range(m):
-            s = y[i]
-            for kk in range(i):
-                s = s - L[i][kk] * y[kk]
-            y[i] = s / L[i][i]
-        for i in reversed(range(m)):
-            s = y[i]
-            for kk in range(i + 1, m):
-                s = s - L[kk][i] * y[kk]
-            y[i] = s / L[i][i]
-        return y
+        # Solve (L L^T) [K | d] = [Qux | -Qu]
+        def chol_solve(cols):
+            # cols: list over m of [8,128] rows (one RHS)
+            y = list(cols)
+            for i in range(m):
+                s = y[i]
+                for kk in range(i):
+                    s = s - L[i][kk] * y[kk]
+                y[i] = s / L[i][i]
+            for i in reversed(range(m)):
+                s = y[i]
+                for kk in range(i + 1, m):
+                    s = s - L[kk][i] * y[kk]
+                y[i] = s / L[i][i]
+            return y
 
-    Kk = [[None] * n for _ in range(m)]
-    for j in range(n):
-        col = chol_solve([Qux[i][j] for i in range(m)])
-        for i in range(m):
-            Kk[i][j] = jnp.where(okb, col[i], 0.0)
-    dk = chol_solve([-Qu[i] for i in range(m)])
-    dk = [jnp.where(okb, dk[i], 0.0) for i in range(m)]
-
-    for i in range(m):
+        Kk = [[None] * n for _ in range(m)]
         for j in range(n):
-            st(K_ref, Kk[i][j], i, j)
-        st(d_ref, dk[i], i)
+            col = chol_solve([Qux[i][j] for i in range(m)])
+            for i in range(m):
+                Kk[i][j] = jnp.where(okb, col[i], 0.0)
+        dk = chol_solve([-Qu[i] for i in range(m)])
+        dk = [jnp.where(okb, dk[i], 0.0) for i in range(m)]
 
-    # Cost-to-go update via the Cholesky identity (round 4, same algebra
-    # as ops/pallas_packed.py): (Quu + reg I)K = Qux and
-    # (Quu + reg I)d = -Qu hold exactly for the substitutions above, so
-    #   P = Qxx + K'QuuK - K'Qux - Qux'K  ==  Qxx - Qux'K - reg K'K
-    #   p = Qx + K'Quu d - K'Qu + Qux'd   ==  Qx + Qux'd + reg K'd
-    # with Qux'K == K'(Quu+reg)K SYMMETRIC by value — so only the upper
-    # triangles are computed (mirrored below) and the result is
-    # symmetric by construction, which also retires the explicit
-    # `symmetrize` averaging (kept as a no-op parameter for ABI
-    # stability). ~11% fewer tile-fmas per knot.
+        for i in range(m):
+            for j in range(n):
+                st(K_ref, Kk[i][j], i, j)
+            st(d_ref, dk[i], i)
+
+        # Cost-to-go update via the Cholesky identity (round 4, same
+        # algebra as ops/pallas_packed.py): (Quu + reg I)K = Qux and
+        # (Quu + reg I)d = -Qu hold exactly for the substitutions above:
+        #   P = Qxx - Qux'K - reg K'K;  p = Qx + Qux'd + reg K'd
+        # with Qux'K symmetric by value — only upper triangles computed
+        # (mirrored below). ~11% fewer tile-fmas per knot.
+        P_new = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i, n):
+                S = sum(Kk[l][i] * Qux[l][j] for l in range(m))
+                KtK = sum(Kk[l][i] * Kk[l][j] for l in range(m))
+                Pk = Qxx[i][j] - S - reg * KtK
+                P_new[i][j] = Pk
+                st(P_ref, Pk, i, j)
+                if i != j:
+                    P_new[j][i] = Pk
+                    st(P_ref, Pk, j, i)
+        p_new = [None] * n
+        for i in range(n):
+            pk = (Qx[i]
+                  + sum(Qux[l][i] * dk[l] for l in range(m))
+                  + reg * sum(Kk[l][i] * dk[l] for l in range(m)))
+            p_new[i] = pk
+            st(p_ref, pk, i)
+        Pn, pn = P_new, p_new
+
+        # Expected decrease: d'Qu and 0.5 d'Quu d, with
+        # Quu d = -Qu - reg d from the same identity
+        dQu = sum(dk[i] * Qu[i] for i in range(m))
+        dd = sum(dk[i] * dk[i] for i in range(m))
+        dV0 = dV0 + dQu
+        dV1 = dV1 - 0.5 * (dQu + reg * dd)
+
     del symmetrize
     for i in range(n):
-        for j in range(i, n):
-            S = sum(Kk[l][i] * Qux[l][j] for l in range(m))
-            KtK = sum(Kk[l][i] * Kk[l][j] for l in range(m))
-            Pk = Qxx[i][j] - S - reg * KtK
-            Pc[i, j] = Pk
-            st(P_ref, Pk, i, j)
-            if i != j:
-                Pc[j, i] = Pk
-                st(P_ref, Pk, j, i)
-    for i in range(n):
-        pk = (Qx[i]
-              + sum(Qux[l][i] * dk[l] for l in range(m))
-              + reg * sum(Kk[l][i] * dk[l] for l in range(m)))
-        pc[i] = pk
-        st(p_ref, pk, i)
-
-    # Expected decrease: d'Qu and 0.5 d'Quu d, with
-    # Quu d = -Qu - reg d from the same identity
-    dQu = sum(dk[i] * Qu[i] for i in range(m))
-    dd = sum(dk[i] * dk[i] for i in range(m))
-    dV_ref[acc_at(dV_ref, 0)] = dV_ref[acc_at(dV_ref, 0)] + dQu
-    dV_ref[acc_at(dV_ref, 1)] = dV_ref[acc_at(dV_ref, 1)] - 0.5 * (
-        dQu + reg * dd)
+        for j in range(n):
+            Pc[i, j] = Pn[i][j]
+        pc[i] = pn[i]
+    dV_ref[acc_at(dV_ref, 0)] = dV0
+    dV_ref[acc_at(dV_ref, 1)] = dV1
+    flags_ref[acc_at(flags_ref, 0)] = ok_run
+    flags_ref[acc_at(flags_ref, 1)] = fail
 
 
 class PallasGains(NamedTuple):
@@ -308,10 +343,17 @@ def _run(A, B, f, lxx, luu, lux, lx, lu, reg, interpret=False):
                   reg_b)
     ]
 
+    # streamed tiles per knot (dense + f + lux path) for the chunk pick
+    tiles_per_knot = (n * n + n * m + n + n * n + m * m + m * n + n + m
+                      + (m * n + m + n * n + n))
+    C = _pick_chunk(N, tiles_per_knot, interpret)
+    Nc = N // C
+
     def knot_spec(*blk):
-        # streamed per-knot block: index (b, N-1-s) of a [Bt, N, ...] stack
+        # streamed per-chunk block: index (b, Nc-1-s) of a [Bt, N, ...]
+        # stack viewed in C-knot blocks
         return pl.BlockSpec(
-            (1, 1) + blk, lambda b, s: (b, N - 1 - s) + (0,) * len(blk)
+            (1, C) + blk, lambda b, s: (b, Nc - 1 - s) + (0,) * len(blk)
         )
 
     def const_spec(*blk):
@@ -341,10 +383,10 @@ def _run(A, B, f, lxx, luu, lux, lx, lu, reg, interpret=False):
         jax.ShapeDtypeStruct((bt, 2) + T, jnp.float32),            # dV
         jax.ShapeDtypeStruct((bt, 2) + T, jnp.float32),            # flags
     )
-    kern = functools.partial(_kernel, n, m, N, False, False, True, True, False)
+    kern = functools.partial(_kernel, n, m, N, C, False, True, True, False)
     outs = pl.pallas_call(
         kern,
-        grid=(bt, N),
+        grid=(bt, Nc),
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -421,11 +463,20 @@ def _run_tiled(A, B, lxx, luu, lux, lx, lu, reg, diag_cost=False,
     lxT = lx[:, N:]       # [bt, 1, n, 8, 128]
     reg4 = reg[:, None]   # [bt, 1, 8, 128]
 
+    # streamed tiles per knot (in + out) for the VMEM-capped chunk pick
+    cost_tiles = (n + m) if diag_cost else (n * n + m * m)
+    tiles_per_knot = (
+        n * n + n * m + cost_tiles + (m * n if with_lux else 0) + n + m
+        + (m * n + m + n * n + n)
+    )
+    C = _pick_chunk(N, tiles_per_knot, interpret)
+    Nc = N // C
+
     def knot_spec(*blk):
         nblk = len(blk)
         return pl.BlockSpec(
-            (1, 1) + blk + T,
-            lambda b, s, nblk=nblk: (b, N - 1 - s) + (0,) * nblk + (0, 0),
+            (1, C) + blk + T,
+            lambda b, s, nblk=nblk: (b, Nc - 1 - s) + (0,) * nblk + (0, 0),
         )
 
     def const_spec(*blk):
@@ -465,13 +516,11 @@ def _run_tiled(A, B, lxx, luu, lux, lx, lu, reg, diag_cost=False,
         jax.ShapeDtypeStruct((bt, 2) + T, jnp.float32),            # dV
         jax.ShapeDtypeStruct((bt, 2) + T, jnp.float32),            # flags
     )
-    # bt=False: the tiled layout uses the same (batch-tile leading)
-    # block convention as the batch-major wrapper
-    kern = functools.partial(_kernel, n, m, N, False, diag_cost, False,
+    kern = functools.partial(_kernel, n, m, N, C, diag_cost, False,
                              with_lux, symmetrize)
     outs = pl.pallas_call(
         kern,
-        grid=(bt, N),
+        grid=(bt, Nc),
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,

@@ -11,7 +11,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from altro_tpu.ops.pallas_riccati import BATCH_TILE, riccati_backward_pallas
+from altro_tpu.ops.pallas_riccati import (
+    BATCH_TILE,
+    batch_to_tiles,
+    riccati_backward_pallas,
+    riccati_backward_pallas_tiled,
+    tiles_to_batch,
+)
 from altro_tpu.tvlqr import tvlqr_backward
 
 
@@ -208,3 +214,41 @@ def test_tiled_symmetrize_matches_scan_symmetrize():
     assert bool(tiles_to_batch(out.ok).all()) and bool(ref.ok.all())
     np.testing.assert_allclose(tiles_to_batch(out.K), np.asarray(ref.K), atol=2e-5)
     np.testing.assert_allclose(tiles_to_batch(out.P), np.asarray(ref.P), atol=2e-4)
+
+
+def test_tiled_kernel_chunked_interpret(monkeypatch):
+    """Chunked-grid coverage in interpret mode (round 5): C=2 at N=4 is
+    small enough to compile quickly and exercises the chunk indexing
+    (inner reversed loop, register-carry across knots, scratch carry
+    across grid steps, fail_index arithmetic). The production-size
+    chunked path is covered on hardware (tests/tpu/test_on_device.py)."""
+    monkeypatch.setenv("ALTRO_TILED_CHUNK", "2")
+    N, n, m = 4, 3, 2
+    rng = np.random.default_rng(11)
+    Bsz = BATCH_TILE
+    A = jnp.asarray(np.tile(np.eye(n), (Bsz, N, 1, 1))
+                    + 0.05 * rng.standard_normal((Bsz, N, n, n)), jnp.float32)
+    Bm = jnp.asarray(0.3 * rng.standard_normal((Bsz, N, n, m)), jnp.float32)
+    lxxd = jnp.asarray(
+        np.abs(rng.standard_normal((Bsz, N + 1, n))) + 0.1, jnp.float32)
+    luud = jnp.asarray(
+        np.abs(rng.standard_normal((Bsz, N, m))) + 0.1, jnp.float32)
+    lx = jnp.asarray(rng.standard_normal((Bsz, N + 1, n)), jnp.float32)
+    lu = jnp.asarray(rng.standard_normal((Bsz, N, m)), jnp.float32)
+    At = batch_to_tiles(A)
+    Bt_ = batch_to_tiles(Bm)
+    out = riccati_backward_pallas_tiled(
+        At, Bt_, batch_to_tiles(lxxd), batch_to_tiles(luud),
+        batch_to_tiles(lx), batch_to_tiles(lu),
+        jnp.zeros((1, 8, 128), jnp.float32), lux=None, diag_cost=True,
+        interpret=True)
+    ref = jax.vmap(lambda *a: tvlqr_backward(*a))(
+        A, Bm, jnp.zeros((Bsz, N, n), jnp.float32), lxxd, luud, None,
+        lx, lu)
+    np.testing.assert_allclose(
+        np.asarray(tiles_to_batch(out.K)), np.asarray(ref.K),
+        atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(tiles_to_batch(out.P)), np.asarray(ref.P),
+        atol=5e-4, rtol=1e-4)
+    assert bool(jnp.all(tiles_to_batch(out.ok[:, None])[:, 0]))

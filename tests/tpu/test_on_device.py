@@ -406,3 +406,87 @@ def test_trial_rollout_kernel_parity_on_device():
     # tolerance covers the bounded 30-step ULP amplification (docstring)
     assert float(jnp.max(jnp.abs(phi_k - phi_s))) < 2e-3 * max(scale, 1.0)
     assert float(jnp.max(jnp.abs(x_k - x_s))) < 2e-3
+
+
+def test_trial_rollout_kernel_constrained_parity_on_device():
+    """Round 5: the in-kernel affine AL constraint term (bounds riding
+    the packed rollout kernel) compiled on the REAL device matches the
+    portable scan grid, with active bounds and nonzero duals. Same
+    N=30/stabilizing-gain fixture discipline as the unconstrained
+    on-device test above."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from altro_tpu.cones import Cone
+    from altro_tpu.io.scotty import load_scotty, synthetic_scotty
+    from altro_tpu.models.bicycle import bicycle_continuous
+    from altro_tpu.models.integrators import midpoint
+    from altro_tpu.models.tile_steps import bicycle_tile, midpoint_tile
+    from altro_tpu.ops.pallas_rollout import (
+        _pallas_rollout,
+        _scan_rollout,
+        affine_constraint_stacks,
+    )
+    from altro_tpu.problem import (
+        ConstraintSpec,
+        Problem,
+        lqr_cost_from_reference,
+    )
+    from altro_tpu.solver import (
+        _cost_expansions_and_cost,
+        dynamics_expansions,
+    )
+    from altro_tpu.tvlqr import tvlqr_backward
+
+    Nl = 30
+    try:
+        ref = load_scotty()
+    except FileNotFoundError:
+        ref = synthetic_scotty(N=500)
+    cost = lqr_cost_from_reference(
+        jnp.full((Nl + 1, 4), 1e-2, jnp.float32),
+        jnp.full((Nl + 1, 2), 1e-3, jnp.float32),
+        jnp.asarray(ref.x[: Nl + 1], jnp.float32),
+        jnp.asarray(ref.u[: Nl + 1], jnp.float32))
+    rng = np.random.default_rng(6)
+    xref = jnp.asarray(ref.x[: Nl + 1], jnp.float32)
+    uref = jnp.asarray(ref.u[:Nl] + 0.01 * rng.standard_normal((Nl, 2)),
+                       jnp.float32)
+    h = jnp.full((Nl,), float(np.float32(ref.tf / ref.N)), jnp.float32)
+    # tight bound so the AL term is ACTIVE along the rollouts
+    steering = ConstraintSpec(
+        fn=lambda x, u, k: jnp.stack([x[3] - 0.01, -0.01 - x[3]]),
+        cone=Cone.NEGATIVE_ORTHANT, dim=2,
+        active=jnp.ones(Nl + 1, bool), label="steering",
+        diag_hessian=True, affine=True)
+    problem = Problem(
+        N=Nl, n=4, m=2, dynamics=midpoint(bicycle_continuous()),
+        dynamics_jac=None, constraints=(steering,), cost=cost, h=h,
+        x0=jnp.asarray(ref.x[0], jnp.float32))
+    z = (jnp.asarray(0.1 * rng.standard_normal((Nl + 1, 2)), jnp.float32),)
+    rho = jnp.asarray(2.5, jnp.float32)
+    xfull = jnp.concatenate([xref[:Nl], xref[Nl][None]], axis=0)
+    lx, lu, lxx, luu, lux, _ = _cost_expansions_and_cost(
+        problem, xfull, uref, z, rho)
+    A, Bm = dynamics_expansions(problem, xfull, uref)
+    g = tvlqr_backward(A, Bm, jnp.zeros_like(lx[:Nl]), lxx, luu, lux,
+                       lx, lu, reg=0.0, symmetrize=True)
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125,
+                          0.015625, 0.0078125], jnp.float32)
+    ax, au, gg, act = affine_constraint_stacks(problem)
+    con = (rho * ax * act[..., None], rho * au * act[..., None],
+           (jnp.concatenate(z, axis=1) - rho * gg) * act,
+           1.0 / (2.0 * rho))
+    args = (midpoint_tile(bicycle_tile()), alphas,
+            jnp.asarray(ref.x[0], jnp.float32), xref, uref, g.K, g.d,
+            cost.Q, cost.q, cost.R, cost.r, cost.c, h)
+    phi_s, x_s = _scan_rollout(*args, con=con)
+    phi_k, x_k = _pallas_rollout(*args, con=con)
+    # the AL term must bite
+    phi_u, _ = _scan_rollout(*args)
+    assert float(jnp.min(phi_s - phi_u)) > 1e-3
+    scale = float(jnp.max(jnp.abs(phi_s)))
+    assert float(jnp.max(jnp.abs(phi_k - phi_s))) < 2e-3 * max(scale, 1.0)
+    assert float(jnp.max(jnp.abs(x_k - x_s))) < 2e-3
