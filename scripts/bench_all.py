@@ -54,10 +54,41 @@ def main():
         fn = jax.jit(lambda s: solve(problem, s, opts))
         stats = time_fn(fn, state, iters=5)
         _, st = jax.block_until_ready(fn(state))
+
+        # DEVICE time via chained-jit differencing (round 5): a single
+        # remote-TPU dispatch carries a fixed ~21-24 ms per-call
+        # overhead at these program sizes, so p50_ms overstates the
+        # on-device solve latency; (t3 - t1)/2 isolates it
+        # (docs/PERF.md round-5 methodology).
+        import time as _trn
+
+        def chain(K):
+            def f(s):
+                tot = jnp.asarray(0.0, problem.x0.dtype)
+                for i in range(K):
+                    p_i = dataclasses.replace(
+                        problem, x0=problem.x0 + i * 1e-6)
+                    _s, t_i = solve(p_i, s, opts)
+                    tot = tot + t_i.objective_value
+                return tot
+            return jax.jit(f)
+
+        def best_of(f, s, reps=5):
+            jax.block_until_ready(f(s))
+            b = float("inf")
+            for _ in range(reps):
+                t0 = _trn.perf_counter()
+                jax.block_until_ready(f(s))
+                b = min(b, _trn.perf_counter() - t0)
+            return b
+
+        t1 = best_of(chain(1), state)
+        t3 = best_of(chain(3), state)
         row = {
             "config": name,
             "platform": platform,
             "p50_ms": round(stats["p50_ms"], 3),
+            "device_ms": round((t3 - t1) / 2 * 1e3, 3),
             "iterations": int(st.iterations),
             "status": int(st.status),
             "feasibility": float(st.primal_feasibility),

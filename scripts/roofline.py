@@ -43,7 +43,7 @@ VPU_OPS_PER_CYCLE = 4  # 4 independent (8,128) ALUs
 # Regression gates (µs/knot, measured round-5 values + ~25% headroom)
 GATE_PACKED_BACKWARD_US_PER_KNOT = 3.5
 GATE_ROLLOUT_US_PER_KNOT = 1.2
-GATE_TILED_BACKWARD_US_PER_ITER = 220.0  # B=2048 headline shapes
+GATE_TILED_BACKWARD_US_PER_ITER = 100.0  # B=2048 headline shapes (74.3 + headroom)
 
 
 def main():
