@@ -278,8 +278,15 @@ def child_main():
     # > 1 is catastrophic (over-penalized rescues destabilize the
     # closed loop to 82.5% success / 7.0 tracking error) — keep it 1.
     rescue_cap = int(os.environ.get("ALTRO_BENCH_RESCUE_CAP", "0"))
+    # Line-search depth inside the rescue. The obstacle-workload lesson
+    # (stuck lanes need alpha below beta^7) does NOT transfer here:
+    # R=5 + 2 blocks measured 99.50% @ 1.69M vs the R=8 + 1 block
+    # default's 99.62% @ 1.93M — on the Scotty tail, extra ITERATIONS
+    # (dual/penalty reshaping) beat extra grid DEPTH per iteration.
+    rescue_ls = int(os.environ.get("ALTRO_BENCH_RESCUE_LS_ITERS", "8"))
     opts_rescue = opts.replace(
         iterations_max=rescue_iters,
+        ls_max_iters=rescue_ls,
         ls_failure_recovery=True,
         ls_recovery_max_fails=rescue_cap,
         ls_best_decrease_fallback=True,
