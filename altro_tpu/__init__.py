@@ -52,6 +52,11 @@ from altro_tpu.diff import implicit_solve
 from altro_tpu.implicit import implicit_dynamics, implicit_midpoint_residual
 from altro_tpu.checkpoint import load_state, save_state
 from altro_tpu.platform import ensure_backend
+from altro_tpu.rescue import (
+    rescue_options,
+    solve_tiled_with_rescue,
+    vmap_solve_with_rescue,
+)
 from altro_tpu.export import (
     call_exported,
     export_mpc_server,

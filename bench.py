@@ -364,29 +364,13 @@ def child_main():
                 cost=dataclasses.replace(problem.cost, q=qs[t], c=cs[t]),
                 x0=x_true_t,
             )
-            st_t, stats = tsv.solve_tiled(prob_t, prob_axes, st_t, opts)
             if rescue:
-                failed = stats.status != 0
+                from altro_tpu.rescue import solve_tiled_with_rescue
 
-                def do_rescue(st_in):
-                    st_r, stats_r = tsv.solve_tiled(
-                        prob_t, prob_axes, st_in, opts_rescue)
-                    st_m = jax.tree.map(
-                        lambda r, m: tsv._lane_where(failed, r, m)
-                        if r.ndim >= 3 else jnp.where(failed, r, m),
-                        st_r, st_in)
-                    iters_m = stats.iterations + jnp.where(
-                        failed, stats_r.iterations, 0)
-                    status_m = jnp.where(failed, stats_r.status, stats.status)
-                    return st_m, iters_m, status_m
-
-                def no_rescue(st_in):
-                    return st_in, stats.iterations, stats.status
-
-                st_t, iters_t, status_t = jax.lax.cond(
-                    jnp.any(failed), do_rescue, no_rescue, st_t)
-                stats = dataclasses.replace(
-                    stats, iterations=iters_t, status=status_t)
+                st_t, stats = solve_tiled_with_rescue(
+                    prob_t, prob_axes, st_t, opts, opts_rescue)
+            else:
+                st_t, stats = tsv.solve_tiled(prob_t, prob_axes, st_t, opts)
             u0 = st_t.u[:, 0]
             x_true_t = dyn_tiled(x_true_t, u0)
             st_t = tsv.shift_trajectory_tiled(st_t)
