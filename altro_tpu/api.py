@@ -224,6 +224,24 @@ class ALTROSolver:
             self._dynamics_jac[k] = jacobian
         return self
 
+    def set_tile_dynamics(self, step_tile: Callable):
+        """Opt-in tile-form dynamics step for the packed trial-rollout
+        Pallas kernel (Problem.dynamics_tile; models/tile_steps.py
+        protocol): step(x[S, n], u[S, m], h[S, 1]) -> x_next[S, n],
+        row-wise equal to the explicit dynamics for every knot. With a
+        diagonal cost and (if any) affine NEGATIVE_ORTHANT constraint
+        groups — which the bound setters declare automatically —
+        single-lane TPU f32 solves run the line-search trial grid
+        inside one Pallas program. No reference analog (the fast path
+        itself is TPU-native)."""
+        self._dynamics_tile = step_tile
+        if self._problem is not None:
+            # already initialized: swap in place, keep the carried state
+            self._problem = dataclasses.replace(
+                self._problem, dynamics_tile=step_tile)
+            self._solve_fn = None
+        return self
+
     def set_linear_dynamics(self, A, B, f=None, k_start: int = 0, k_stop: int = LAST_INDEX):
         A = np.asarray(A)
         B = np.asarray(B)
@@ -591,6 +609,7 @@ class ALTROSolver:
             N=self.N, n=self.n, m=self.m, dynamics=dyn, dynamics_jac=jac,
             constraints=tuple(self._constraints), cost=self._build_cost(),
             h=jnp.asarray(self._h, self.dtype), x0=jnp.asarray(self._x0, self.dtype),
+            dynamics_tile=getattr(self, "_dynamics_tile", None),
         )
         self._state = init_state(self._problem)
         return self

@@ -245,3 +245,49 @@ def test_max_solve_time_budget():
     solver2.initialize()
     assert solver2.solve() == SolveStatus.SUCCESS
     assert np.linalg.norm(solver2.get_state(N)) < 1e-4
+
+
+def test_set_tile_dynamics_fast_path_matches_plain():
+    """ALTROSolver.set_tile_dynamics: the packed trial-rollout fast path
+    (scan fallback on CPU) through the facade + affine input bounds from
+    set_input_bounds must reproduce the plain path's solve."""
+    from altro_tpu.models.pendulum import pendulum_continuous
+    from altro_tpu.models.integrators import midpoint
+    from altro_tpu.models.tile_steps import midpoint_tile, pendulum_tile
+
+    N, n, m = 30, 2, 1
+    dyn = midpoint(pendulum_continuous())
+    opts = SolverOptions(
+        iterations_max=12, use_backtracking_linesearch=True,
+        parallel_linesearch=True, ls_phase_split=True,
+        ls_try_cubic_first=False, ls_armijo_only=True, ls_max_iters=8,
+        throw_errors=False)
+
+    def build(with_tile):
+        s = ALTROSolver(N)
+        s.set_dimension(n, m)
+        s.set_time_step(0.06)
+        s.set_explicit_dynamics(lambda x, u, h, k: dyn(x, u, h, k))
+        s.set_lqr_cost(np.full(n, 1e-1), np.full(m, 1e-3),
+                       np.array([np.pi, 0.0]), np.zeros(m))
+        s.set_input_bounds(u_lo=[-6.0], u_hi=[6.0])
+        s.set_initial_state(np.zeros(n))
+        if with_tile:
+            s.set_tile_dynamics(midpoint_tile(pendulum_tile()))
+        s.initialize()
+        s.set_input(np.full((m,), 0.1), 0, N)
+        s.set_options(opts)
+        return s
+
+    s_plain = build(False)
+    s_tile = build(True)
+    assert s_tile.problem.dynamics_tile is not None
+    # bound setters must have declared the affine fast-path eligibility
+    from altro_tpu.ops.pallas_rollout import rollout_constraints_eligible
+    assert rollout_constraints_eligible(s_tile.problem)
+    st0 = s_plain.solve()
+    st1 = s_tile.solve()
+    assert st0 == st1
+    assert s_plain.get_iterations() == s_tile.get_iterations()
+    np.testing.assert_allclose(
+        np.asarray(s_plain.state.u), np.asarray(s_tile.state.u), atol=5e-5)
