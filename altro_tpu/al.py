@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from altro_tpu import cones
@@ -132,6 +133,35 @@ def al_hess(problem: Problem, k, x, u, z, rho, terminal: bool):
         if not terminal:
             luu = luu + jnp.where(active, Hc[n:, n:], 0.0)
             lux = lux + jnp.where(active, Hc[n:, :n], 0.0)
+    return lxx, luu, lux
+
+
+def al_hess_exact(problem: Problem, k, x, u, z, rho, terminal: bool):
+    """EXACT (full-Newton) AL Hessian (lxx, luu, lux) at one knot via
+    autodiff through `al_cost` — includes the constraint-curvature term
+    sum_e lambda_e * nabla^2 c_e that the Gauss-Newton form (al_hess,
+    == reference knotpoint_data.cpp:549-570) drops. Measured effect:
+    lifts the nonconvex-obstacle MPC convergence plateau (docs/PERF.md
+    round 5). The projected-dual AL value is piecewise-C^2; autodiff
+    returns the almost-everywhere Hessian, exactly as GN uses the
+    a.e. projection Jacobian. May be indefinite: pair with the adaptive
+    Quu regularization retry. SolverOptions.exact_al_hessian selects it.
+    """
+    m = problem.m
+    dtype = x.dtype
+    if terminal:
+        def val_x(xx):
+            return al_cost(problem, k, xx, None, z, rho, terminal=True)[0]
+
+        lxx = jax.hessian(val_x)(x)
+        return lxx, jnp.zeros((m, m), dtype), jnp.zeros((m, problem.n), dtype)
+
+    def val(xx, uu):
+        return al_cost(problem, k, xx, uu, z, rho, terminal=False)[0]
+
+    lxx = jax.hessian(val, argnums=0)(x, u)
+    luu = jax.hessian(val, argnums=1)(x, u)
+    lux = jax.jacfwd(jax.grad(val, argnums=1), argnums=0)(x, u)
     return lxx, luu, lux
 
 

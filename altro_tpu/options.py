@@ -246,6 +246,22 @@ class SolverOptions:
     # are unaffected. Measurements (docs/PERF.md): ~flat at the n=4
     # headline (tiled kernel), 1.14x kernel-level at n=12 blocks.
     diag_expansion: bool = True
+    # Exact (full-Newton) AL Hessians via autodiff through the AL cost,
+    # instead of the Gauss-Newton form the reference hardwires
+    # (knotpoint_data.cpp:549-570): includes the constraint-curvature
+    # term sum_e lambda_e * nabla^2 c_e that GN drops (verified against
+    # finite differences to 8e-11, tests/test_al_formulas.py). Measured
+    # on the nonconvex-obstacle MPC workload: WORSE than GN (72.2% vs
+    # 86.2% resolve success, +60% iterations — with positive
+    # multipliers on a concave constraint the curvature term
+    # de-conditions Quu, the classic regime where Gauss-Newton beats
+    # full Newton away from the solution; docs/PERF.md round 5). Kept
+    # as an option for convex-curvature constraints where GN
+    # underestimates; can be indefinite — pair with the adaptive Quu
+    # regularization retry. Dense-path solves only (disables the
+    # diagonal fast path); no reference analog. Off by default
+    # (GN = reference parity AND the measured-better choice here).
+    exact_al_hessian: bool = False
     throw_errors: bool = True  # host API raises on failed solve
     # Re-symmetrize the Riccati cost-to-go each step: recommended for
     # long horizons (N >~ 100) in f32, where roundoff asymmetry compounds

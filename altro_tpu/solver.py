@@ -25,6 +25,7 @@ state).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import NamedTuple, Optional, Tuple
 
@@ -437,29 +438,33 @@ def complete_merit_payload(
 # ---------------------------------------------------------------------------
 
 
-def _cost_expansions_and_cost(problem: Problem, x, u, z, rho):
+def _cost_expansions_and_cost(problem: Problem, x, u, z, rho, exact=False):
     """Per-knot AL cost expansion + total AL cost at a trajectory, vmapped
     over the knot axis (dynamics Jacobians handled separately — they only
     depend on (x, u) and are reused from the accepted merit evaluation).
 
     Parity: CalcExpansions / CalcCostGradient (solver.cpp:176-201) plus
     CalcCost (solver.cpp:163-174) in one pass.
+    exact=True (SolverOptions.exact_al_hessian) swaps the Gauss-Newton
+    AL Hessian for the full-Newton autodiff one (al.al_hess_exact) —
+    no reference analog.
     Returns (lx, lu, lxx, luu, lux, al_cost_total).
     """
     N = problem.N
     ks = jnp.arange(N, dtype=jnp.int32)
     z_stage = tuple(zj[:N] for zj in z)
     z_term = tuple(zj[N] for zj in z)
+    hess = al.al_hess_exact if exact else al.al_hess
 
     def stage(k, x_k, u_k, z_k):
         lx, lu = al.al_grad(problem, k, x_k, u_k, z_k, rho, terminal=False)
-        lxx, luu, lux = al.al_hess(problem, k, x_k, u_k, z_k, rho, terminal=False)
+        lxx, luu, lux = hess(problem, k, x_k, u_k, z_k, rho, terminal=False)
         cost_k, _, _ = al.al_cost(problem, k, x_k, u_k, z_k, rho, terminal=False)
         return lx, lu, lxx, luu, lux, cost_k
 
     lx_st, lu, lxx_st, luu, lux, cost_st = jax.vmap(stage)(ks, x[:N], u, z_stage)
     lx_N, _ = al.al_grad(problem, N, x[N], None, z_term, rho, terminal=True)
-    lxx_N, _, _ = al.al_hess(problem, N, x[N], None, z_term, rho, terminal=True)
+    lxx_N = hess(problem, N, x[N], None, z_term, rho, terminal=True)[0]
     cost_N, _, _ = al.al_cost(problem, N, x[N], None, z_term, rho, terminal=True)
     lx = jnp.concatenate([lx_st, lx_N[None]], axis=0)
     lxx = jnp.concatenate([lxx_st, lxx_N[None]], axis=0)
@@ -744,6 +749,7 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         and al.diag_expansion_eligible(problem)
         and not opts.pallas_backward
         and not opts.parallel_riccati
+        and not opts.exact_al_hessian  # exact Hessians are dense
     )
 
     # Prologue (solver.cpp:418-434): reset penalty, rollout, make reference
@@ -823,10 +829,12 @@ def solve(problem: Problem, state: SolverState, opts: SolverOptions = SolverOpti
         #    (x, u) and are reused from the accepted merit evaluation
         # 2. Riccati backward pass with adaptive regularization
         A, B = c.A, c.B
-        expand = (
-            _cost_expansions_and_cost_diag if diag_mode
-            else _cost_expansions_and_cost
-        )
+        if diag_mode:
+            expand = _cost_expansions_and_cost_diag
+        elif opts.exact_al_hessian:
+            expand = functools.partial(_cost_expansions_and_cost, exact=True)
+        else:
+            expand = _cost_expansions_and_cost
         lx, lu, lxx, luu, lux, phi0 = expand(problem, c.x, c.u, c.z, c.rho)
         gains, reg_used = backward_adaptive(
             opts, A, B, lxx, luu, lux, lx, lu, c.reg

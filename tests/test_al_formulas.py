@@ -128,3 +128,52 @@ def test_soc_in_cone():
     z_bar = z - RHO * C_EXPECTED
     assert np.linalg.norm(z_bar[:-1]) < z_bar[-1]
     np.testing.assert_allclose(alcost, 2483.75, atol=1e-10)
+
+
+def test_exact_al_hessian_matches_finite_differences():
+    """al_hess_exact (SolverOptions.exact_al_hessian): the full-Newton
+    AL Hessian must match central finite differences of al_grad through
+    an ACTIVE nonconvex obstacle constraint — including the curvature
+    term sum_e lambda_e * nabla^2 c_e that the Gauss-Newton al_hess
+    (reference knotpoint_data.cpp:549-570) drops by construction."""
+    import jax
+
+    problem = make_problem(Cone.NEGATIVE_ORTHANT)
+    z = (jnp.asarray([-0.7, -0.3, 0.1]),)
+    rho = jnp.asarray(RHO)
+    x = jnp.asarray([1.5, 1.8, 2.5])  # obstacle constraints active-ish
+    u = jnp.asarray([3.0, -2.0])
+
+    lxx_ex, luu_ex, lux_ex = al.al_hess_exact(
+        problem, 0, x, u, z, rho, terminal=False)
+    lxx_gn, luu_gn, lux_gn = al.al_hess(
+        problem, 0, x, u, z, rho, terminal=False)
+
+    def gx(xx):
+        return al.al_grad(problem, 0, xx, u, z, rho, terminal=False)[0]
+
+    def gu(uu):
+        return al.al_grad(problem, 0, x, uu, z, rho, terminal=False)[1]
+
+    eps = 1e-6
+    eye_n = np.eye(3)
+    fd_xx = np.stack([
+        (np.asarray(gx(x + eps * eye_n[i])) - np.asarray(gx(x - eps * eye_n[i])))
+        / (2 * eps) for i in range(3)])
+    eye_m = np.eye(2)
+    fd_uu = np.stack([
+        (np.asarray(gu(u + eps * eye_m[i])) - np.asarray(gu(u - eps * eye_m[i])))
+        / (2 * eps) for i in range(2)])
+    np.testing.assert_allclose(np.asarray(lxx_ex), fd_xx, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(luu_ex), fd_uu, atol=1e-6)
+    # the curvature term must actually differ from GN here (otherwise
+    # this test pins nothing)
+    assert float(np.abs(np.asarray(lxx_ex) - np.asarray(lxx_gn)).max()) > 0.1
+    # ... and GN + sum(lambda_e * hess c_e) == exact for this quadratic
+    # constraint (hess c_1 = hess c_2 = -2 I on x; c_3 linear)
+    cval = con_fn(x, u, 0)
+    zp = jnp.minimum(z[0] - rho * cval, 0.0)
+    lam = -np.asarray(zp)  # multiplier estimates
+    corr = (lam[0] + lam[1]) * (-2.0) * np.eye(3)
+    np.testing.assert_allclose(
+        np.asarray(lxx_gn) + corr, np.asarray(lxx_ex), atol=1e-4)
