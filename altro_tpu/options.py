@@ -194,6 +194,21 @@ class SolverOptions:
     # round 4). DEFAULT ON: without dynamics_tile, or for constrained /
     # CPU / f64 / batched traces, the scan grid runs as before.
     pallas_rollout: bool = True
+    # Batched tiled trial-rollout Pallas kernel
+    # (ops/pallas_rollout_tiled.py): inside the tile-resident solve
+    # (tile_solver.solve_tiled), run the whole W-trial line-search grid
+    # rollout as ONE Pallas program over lane tiles instead of a
+    # knot-sequential XLA scan. Round-5 stage attribution measured the
+    # scan grid at 0.32 ms of the 0.35 ms headline iteration
+    # (scripts/profile_tile_stages.py) — the per-knot scan steps pay
+    # op-granularity scheduling latency the kernel eliminates.
+    # Requires Problem.dynamics_cols (the column-form tile-step
+    # protocol, models/tile_steps.py), a DiagonalCost, and affine
+    # NEGATIVE_ORTHANT constraint groups; anything else falls back to
+    # the scan grid automatically (ops.pallas_rollout_tiled.
+    # rollout_tiled_eligible). Parity vs the scan: f32 roundoff
+    # (tests/test_pallas_rollout_tiled.py).
+    pallas_rollout_tiled: bool = True
     # Batch-fused Pallas backward pass: when the solve is vmapped over a
     # batch that is a multiple of 1024 f32 lanes on TPU, run the whole
     # Riccati recursion as ONE Pallas kernel over (8, 128) lane tiles

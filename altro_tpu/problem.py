@@ -316,6 +316,15 @@ class Problem:
     # the line-search trial grid inside one Pallas program
     # (ops/pallas_rollout.py) instead of W sequential-scan rollouts.
     dynamics_tile: Optional[Callable[..., jnp.ndarray]] = None
+    # Column-form twin (models/tile_steps.py):
+    # step(x_cols, u_cols, h) -> x_next_cols on tuples of per-component
+    # arrays (each broadcast-compatible — (8, 128) lane tiles in the
+    # batched rollout kernel). When set, tile-resident batched solves
+    # (tile_solver.solve_tiled) run the line-search trial grid inside
+    # one Pallas program (ops/pallas_rollout_tiled.py) instead of a
+    # knot-sequential XLA scan — the dominant per-iteration cost at the
+    # headline shapes (docs/PERF.md round 5 stage attribution).
+    dynamics_cols: Optional[Callable[..., tuple]] = None
 
     @property
     def linear_dynamics(self) -> bool:
@@ -358,5 +367,6 @@ class Problem:
 _register(
     Problem,
     ["cost", "h", "x0", "A", "B", "f_aff", "constraints"],
-    ["N", "n", "m", "dynamics", "dynamics_jac", "dynamics_tile"],
+    ["N", "n", "m", "dynamics", "dynamics_jac", "dynamics_tile",
+     "dynamics_cols"],
 )

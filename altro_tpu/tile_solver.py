@@ -317,6 +317,30 @@ def solve_tiled(
     c1 = jnp.asarray(opts.ls_c1, dtype)
     slack = jnp.asarray(opts.ls_armijo_slack, dtype)
 
+    # Batched trial-rollout Pallas kernel (the dominant per-iteration
+    # cost is the knot-sequential scan grid — docs/PERF.md round-5 stage
+    # attribution); scan fallback otherwise.
+    from altro_tpu.ops.pallas_rollout_tiled import (
+        rollout_grid_pallas_tiled,
+        rollout_tiled_eligible,
+    )
+    from altro_tpu.ops.packed_backward import _on_tpu
+
+    use_roll_kernel = (
+        opts.pallas_rollout_tiled
+        and dtype == jnp.float32
+        and (interpret or _on_tpu())
+        and rollout_tiled_eligible(problem_t, prob_axes)
+    )
+
+    def _grid_rollout(alphas_w, xc, uc, K, d, z, rho):
+        if use_roll_kernel:
+            return rollout_grid_pallas_tiled(
+                ta, xc, uc, K, d, z, rho, alphas_w, x0_t,
+                interpret=interpret)
+        return ti.rollout_grid_tiled(ta, xc, uc, K, d, z, rho, alphas_w,
+                                     x0_t)
+
     init = _CarryT(
         x=x_init,
         u=state_t.u,
@@ -388,8 +412,8 @@ def solve_tiled(
             def eval_block(block):
                 ks = block * W + jnp.arange(W)
                 alphas = beta ** ks.astype(dtype)
-                phis, xstacks = ti.rollout_grid_tiled(
-                    ta, c.x, c.u, g.K, g.d, c.z, c.rho, alphas, x0_t
+                phis, xstacks = _grid_rollout(
+                    alphas, c.x, c.u, g.K, g.d, c.z, c.rho
                 )
                 armijo = phis <= (
                     phi0[None]

@@ -177,11 +177,17 @@ def child_main():
         fn=lambda x, u, k: jnp.stack([x[3] - delta_max, -delta_max - x[3]]),
         cone=Cone.NEGATIVE_ORTHANT, dim=2, active=jnp.ones(N + 1, bool),
         label="steering bound", diag_hessian=True,  # rows are +-e3
+        affine=True,
     )
     dyn = midpoint(bicycle_continuous())
+    from altro_tpu.models.tile_steps import bicycle_cols, midpoint_cols
+
     problem = Problem(
         N=N, n=n, m=m, dynamics=dyn, dynamics_jac=None, constraints=(steering,),
         cost=cost0, h=jnp.full(N, h, dtype), x0=jnp.asarray(ref.x[0], dtype),
+        # column-form tile step: lets solve_tiled run the line-search
+        # trial grid as one Pallas program (ops/pallas_rollout_tiled.py)
+        dynamics_cols=midpoint_cols(bicycle_cols()),
     )
     rti = os.environ.get("ALTRO_BENCH_RTI") == "1"
     warm_rho = os.environ.get("ALTRO_BENCH_WARM_RHO", "1") == "1"

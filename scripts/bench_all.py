@@ -333,7 +333,12 @@ def main():
         np.concatenate([np.full(3, 1.0), np.full(3, 0.1), np.full(6, 0.1)]), (N + 1, 1)
     )
     Qd[N] *= 10
-    from altro_tpu.models.tile_steps import quadrotor_tile, rk4_tile
+    from altro_tpu.models.tile_steps import (
+        quadrotor_cols,
+        quadrotor_tile,
+        rk4_cols,
+        rk4_tile,
+    )
 
     qproblem = Problem(
         N=N, n=n, m=m, dynamics=rk4(quadrotor_continuous()), dynamics_jac=None,
@@ -347,6 +352,8 @@ def main():
         # packed trial-rollout kernel on the B=1 latency row; the batched
         # rows fall back through the custom_vmap rule automatically
         dynamics_tile=rk4_tile(quadrotor_tile()),
+        # batched tiled rollout kernel on the tile-resident MPC rows
+        dynamics_cols=rk4_cols(quadrotor_cols()),
     )
     # Parallel-grid line search: 2678 -> 4710 solves/s at identical mean
     # objective vs the sequential Wolfe search (lockstep straggler cost

@@ -1,0 +1,116 @@
+"""Rocket landing (3 SOC groups + terminal equality) through the
+tile-resident solve vs vmap(solve) — the round-5 SOC fast-path probe.
+
+docs/PERF.md round 5 recorded the SOC envelope as "correct-but-vmapped"
+and listed tile-form cone work as a round-6 item. Measurement shows the
+tile path needs NO new machinery: tile_vmap lifts the branchless
+cones.py projections/Jacobians and the dense al_hess exactly like every
+other per-lane callable, and solve_tiled's dense (diag=False) expansion
+path feeds the Pallas backward's dense block form. This script pins
+
+  * throughput: vmap(solve) (sequential backtracking, the shipped bench
+    row) vs vmap(solve) (grid LS) vs solve_tiled (grid LS), same budget;
+  * convergence: success/touchdown for each;
+  * parity: tiled vs vmapped grid-LS iterates agree to f32 noise at
+    small iteration counts (the amplified tail spread is per-lane
+    Armijo tie flips, same contract as tests/test_tile_solver.py).
+
+Usage: python scripts/proto_rocket_tiled.py [B] [ITERS]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+from bench import pick_platform
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+
+    platform = pick_platform()
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_cache_altro_proto"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from rocket_landing import build_problem
+    from altro_tpu.options import SolverOptions
+    from altro_tpu.parallel.batch import batch_init_state
+    from altro_tpu.solver import solve
+    from altro_tpu import tile_solver as tsv
+    from altro_tpu.ops.pallas_riccati import tiles_to_batch
+
+    dtype = jnp.float32
+    problem, hover = build_problem(dtype=dtype)
+    kr, kv = jax.random.split(jax.random.PRNGKey(0))
+    x0s = problem.x0[None, :] + jnp.concatenate(
+        [2.0 * jax.random.normal(kr, (B, 3), dtype),
+         0.5 * jax.random.normal(kv, (B, 3), dtype)], axis=1)
+    states = batch_init_state(problem, B)
+    states = dataclasses.replace(states, u=jnp.tile(hover, (B, problem.N, 1)))
+
+    common = dict(
+        iterations_max=ITERS, penalty_initial=10.0, penalty_scaling=10.0,
+        tol_stationarity=1e-3, tol_primal_feasibility=1e-3,
+        tol_stationarity_rel=1e-5, use_backtracking_linesearch=True,
+        throw_errors=False)
+    opts_seq = SolverOptions(**common)
+    opts_grid = SolverOptions(
+        **common, parallel_linesearch=True, ls_phase_split=True,
+        ls_grid_x_only=True, ls_armijo_only=True)
+
+    def timed(f, *args):
+        out = jax.block_until_ready(f(*args))  # compile
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(f(*args))
+        return time.perf_counter() - t0, out
+
+    results = {"B": B, "iters": ITERS, "platform": platform}
+
+    def report(tag, dt, st, stats):
+        touchdown = float(jnp.mean(jnp.linalg.norm(
+            st.x[:, problem.N, :3], axis=1)))
+        results[tag] = {
+            "solves_per_s": round(B / dt, 1),
+            "success": round(float(jnp.mean(stats.status == 0)), 4),
+            "mean_iters": round(float(jnp.mean(stats.iterations)), 1),
+            "touchdown_m": round(touchdown, 5),
+        }
+        print(tag, json.dumps(results[tag]), file=sys.stderr)
+
+    for tag, opts in (("vmap_seq", opts_seq), ("vmap_grid", opts_grid)):
+        f = jax.jit(lambda x0s, s, o=opts: jax.vmap(
+            lambda x0, si: solve(
+                dataclasses.replace(problem, x0=x0), si, o))(x0s, s))
+        dt, (st, stats) = timed(f, x0s, states)
+        report(tag, dt, st, stats)
+
+    prob_axes = jax.tree.map(lambda _: False, problem)
+    prob_axes = dataclasses.replace(prob_axes, x0=True)
+    prob_t = tsv.tile_problem(
+        dataclasses.replace(problem, x0=x0s), prob_axes)
+    st_t = tsv.state_to_tiles(states)
+    f = jax.jit(lambda s: tsv.solve_tiled(prob_t, prob_axes, s, opts_grid))
+    dt, (st_o, stats_o) = timed(f, st_t)
+    st_b = dataclasses.replace(
+        st_o, x=tiles_to_batch(st_o.x), u=tiles_to_batch(st_o.u))
+    report("tiled_grid", dt, st_b, tsv.stats_from_tiles(stats_o))
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -490,3 +490,102 @@ def test_trial_rollout_kernel_constrained_parity_on_device():
     scale = float(jnp.max(jnp.abs(phi_s)))
     assert float(jnp.max(jnp.abs(phi_k - phi_s))) < 2e-3 * max(scale, 1.0)
     assert float(jnp.max(jnp.abs(x_k - x_s))) < 2e-3
+
+
+def test_batched_tiled_rollout_kernel_parity_on_device():
+    """Round 5 (cont.): the BATCHED tiled trial-rollout kernel
+    (ops/pallas_rollout_tiled.py) compiled on the REAL device matches
+    the tiled XLA scan grid at one-lane-tile batch, with an active
+    affine bound, nonzero duals and per-lane penalties. Same N=30 /
+    stabilizing-gain fixture discipline as the packed-kernel tests
+    (Mosaic-vs-XLA transcendental ULP amplification bounds the
+    tolerance, see test_trial_rollout_kernel_parity_on_device)."""
+    import jax.numpy as jnp
+
+    from altro_tpu.cones import Cone
+    from altro_tpu.io.scotty import load_scotty, synthetic_scotty
+    from altro_tpu.models.bicycle import bicycle_continuous
+    from altro_tpu.models.integrators import midpoint
+    from altro_tpu.models.tile_steps import bicycle_cols, midpoint_cols
+    from altro_tpu.ops import tile_iter as ti
+    from altro_tpu.ops.pallas_riccati import batch_to_tiles
+    from altro_tpu.ops.pallas_rollout_tiled import rollout_grid_pallas_tiled
+    from altro_tpu.problem import (
+        ConstraintSpec,
+        Problem,
+        lqr_cost_from_reference,
+    )
+    from altro_tpu.solver import _cost_expansions_and_cost, dynamics_expansions
+    from altro_tpu.tvlqr import tvlqr_backward
+
+    Nl, B = 30, 1024
+    try:
+        ref = load_scotty()
+    except FileNotFoundError:
+        ref = synthetic_scotty(N=500)
+    cost = lqr_cost_from_reference(
+        jnp.full((Nl + 1, 4), 1e-2, jnp.float32),
+        jnp.full((Nl + 1, 2), 1e-3, jnp.float32),
+        jnp.asarray(ref.x[: Nl + 1], jnp.float32),
+        jnp.asarray(ref.u[: Nl + 1], jnp.float32))
+    rng = np.random.default_rng(9)
+    xref = jnp.asarray(ref.x[: Nl + 1], jnp.float32)
+    uref = jnp.asarray(ref.u[:Nl] + 0.01 * rng.standard_normal((Nl, 2)),
+                       jnp.float32)
+    h = jnp.full((Nl,), float(np.float32(ref.tf / ref.N)), jnp.float32)
+    steering = ConstraintSpec(
+        fn=lambda x, u, k: jnp.stack([x[3] - 0.01, -0.01 - x[3]]),
+        cone=Cone.NEGATIVE_ORTHANT, dim=2,
+        active=jnp.ones(Nl + 1, bool), label="steering",
+        diag_hessian=True, affine=True)
+    problem = Problem(
+        N=Nl, n=4, m=2, dynamics=midpoint(bicycle_continuous()),
+        dynamics_jac=None, constraints=(steering,), cost=cost, h=h,
+        x0=jnp.asarray(ref.x[0], jnp.float32),
+        dynamics_cols=midpoint_cols(bicycle_cols()))
+    z1 = (jnp.asarray(0.1 * rng.standard_normal((Nl + 1, 2)), jnp.float32),)
+    rho1 = jnp.asarray(2.5, jnp.float32)
+    xfull = jnp.concatenate([xref[:Nl], xref[Nl][None]], axis=0)
+    lx, lu, lxx, luu, lux, _ = _cost_expansions_and_cost(
+        problem, xfull, uref, z1, rho1)
+    A, Bm = dynamics_expansions(problem, xfull, uref)
+    g = tvlqr_backward(A, Bm, jnp.zeros_like(lx[:Nl]), lxx, luu, lux,
+                       lx, lu, reg=0.0, symmetrize=True)
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125,
+                          0.015625, 0.0078125], jnp.float32)
+
+    # batch: tile the single-lane fixture with per-lane x0/dual jitter
+    x_t = batch_to_tiles(jnp.broadcast_to(xfull, (B,) + xfull.shape))
+    u_t = batch_to_tiles(jnp.broadcast_to(uref, (B,) + uref.shape))
+    K_t = batch_to_tiles(jnp.broadcast_to(g.K, (B,) + g.K.shape))
+    d_t = batch_to_tiles(jnp.broadcast_to(g.d, (B,) + g.d.shape))
+    zb = jnp.asarray(
+        np.abs(rng.standard_normal((B, Nl + 1, 2))), jnp.float32)
+    z_t = (batch_to_tiles(zb),)
+    rho_t = batch_to_tiles(
+        jnp.asarray(1.0 + 4.0 * rng.random((B, 1)), jnp.float32))[:, 0]
+    x0b = jnp.asarray(
+        np.asarray(ref.x[0])[None] + 0.01 * rng.standard_normal((B, 4)),
+        jnp.float32)
+    x0_t = batch_to_tiles(x0b)
+
+    prob_axes = dataclasses.replace(
+        problem,
+        cost=dataclasses.replace(cost, Q=False, R=False, q=False, r=False,
+                                 c=False),
+        h=False, x0=True, A=False, B=False, f_aff=False,
+        constraints=(dataclasses.replace(steering, active=False),))
+    problem_t = dataclasses.replace(problem, x0=x0_t)
+    ta = ti.TileArgs(problem_t, prob_axes, (True,))
+
+    import jax
+
+    phi_s, xs_s = jax.jit(
+        lambda: ti.rollout_grid_tiled(
+            ta, x_t, u_t, K_t, d_t, z_t, rho_t, alphas, x0_t))()
+    phi_k, xs_k = jax.jit(
+        lambda: rollout_grid_pallas_tiled(
+            ta, x_t, u_t, K_t, d_t, z_t, rho_t, alphas, x0_t))()
+    scale = float(jnp.max(jnp.abs(phi_s)))
+    assert float(jnp.max(jnp.abs(phi_k - phi_s))) < 2e-3 * max(scale, 1.0)
+    assert float(jnp.max(jnp.abs(xs_k - xs_s))) < 2e-3
