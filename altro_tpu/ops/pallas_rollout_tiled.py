@@ -56,16 +56,20 @@ __all__ = [
 ]
 
 
-def _pick_chunk(N: int, W: int, interpret: bool) -> int:
+def _pick_chunk(N: int, tiles_per_knot: int, interpret: bool) -> int:
     """Knots per grid step: amortize the ~2.5 us Mosaic grid-step
-    overhead. The body unrolls W trials x C knots, so C also bounds
-    Mosaic compile time; interpret mode defaults to 1 (the interpreter
-    pays minutes on unrolled multi-knot bodies — same policy as the
-    tiled backward). Override: ALTRO_ROLLOUT_TILED_CHUNK."""
+    overhead against a ~4 MB double-buffered VMEM budget per side (the
+    same policy as the tiled backward's _pick_chunk; at quadrotor
+    n=12 / W=8 block sizes the streamed chunk is ~10x the bicycle's).
+    The body unrolls W trials x C knots, so C also bounds Mosaic
+    compile time; interpret mode defaults to 1 (the interpreter pays
+    minutes on unrolled multi-knot bodies). Override:
+    ALTRO_ROLLOUT_TILED_CHUNK."""
     default = "1" if interpret else "6"
     cap = int(os.environ.get("ALTRO_ROLLOUT_TILED_CHUNK", default))
+    vmem_cap = max(1, int(4e6 // (tiles_per_knot * SUB * LANE * 4)))
     for c in (6, 5, 4, 3, 2):
-        if c <= cap and N % c == 0:
+        if c <= min(cap, vmem_cap) and N % c == 0:
             return c
     return 1
 
@@ -226,7 +230,12 @@ def rollout_grid_pallas_tiled(ta, ref_x_t, ref_u_t, K_t, d_t, z_t, rho_t,
     T = (SUB, LANE)
     f32 = jnp.float32
 
-    C = _pick_chunk(N, W, interpret)
+    P = sum(spec.dim for spec in problem.constraints)
+    # streamed tiles per knot: operands + the W-trial x_out block
+    tiles_per_knot = (
+        n + m + m * n + m + 2 * n + 2 * m + 2 + P * (n + m + 1) + W * n
+    )
+    C = _pick_chunk(N, tiles_per_knot, interpret)
     Nc = N // C
 
     # cost rows, broadcast per-lane where shared
@@ -237,7 +246,6 @@ def rollout_grid_pallas_tiled(ta, ref_x_t, ref_u_t, K_t, d_t, z_t, rho_t,
     cc_t = _bcast_tiled(cost.c, cost_axes.c, bt)
     h_t = _bcast_tiled(problem.h, prob_axes.h, bt)
 
-    P = sum(spec.dim for spec in problem.constraints)
     in_arrays = [
         jnp.asarray(ref_x_t[:, :N], f32), jnp.asarray(ref_u_t, f32),
         jnp.asarray(K_t, f32), jnp.asarray(d_t, f32),

@@ -399,9 +399,16 @@ def solve_tiled(
         # 4. Line search: parallel x-only grid (or RTI full step)
         if opts.rti_mode:
             one = jnp.asarray(1.0, dtype)
-            phi_acc, xsel = ti.rollout_phi_x_tiled(
-                ta, c.x, c.u, g.K, g.d, c.z, c.rho, one, x0_t
-            )
+            if use_roll_kernel:
+                # W=1 grid through the rollout kernel (same program as
+                # the line-search grid; the scan path is the fallback)
+                phi1, xs1 = _grid_rollout(
+                    one[None], c.x, c.u, g.K, g.d, c.z, c.rho)
+                phi_acc, xsel = phi1[0], xs1[0]
+            else:
+                phi_acc, xsel = ti.rollout_phi_x_tiled(
+                    ta, c.x, c.u, g.K, g.d, c.z, c.rho, one, x0_t
+                )
             alpha_acc = jnp.full(lane_shape, 1.0, dtype)
             use_ls = jnp.ones(lane_shape, bool)
             ls_failed = jnp.zeros(lane_shape, bool)

@@ -56,9 +56,10 @@ COMPILE_CACHE_DIR = os.environ.get(
 # artifact (/root/reference/test/scotty_mpc.json: error 0.485).
 GATE_MAX_TRACKING_ERR = 0.5
 # Raised round 5 (0.985 -> 0.995, VERDICT r4 item 1) for the default
-# two-tier-rescue headline, measured 99.62% @ 1.93M (R=8). With the
-# rescue disabled (ALTRO_BENCH_RESCUE=0, the fast operating point:
-# 98.56% @ 3.0M) the round-4 gate applies. Full Pareto in docs/PERF.md.
+# two-tier-rescue headline, measured 99.62% @ 3.03M (R=10, with the
+# batched rollout kernel). With the rescue disabled
+# (ALTRO_BENCH_RESCUE=0, the fast operating point: 98.55% @ 4.30M) the
+# round-4 gate applies. Full Pareto in docs/PERF.md.
 GATE_MIN_SUCCESS = 0.995  # full-solver mode with the default lane rescue
 GATE_MIN_SUCCESS_NO_RESCUE = 0.985
 GATE_MAX_MEAN_ITERS = 2.0
@@ -271,7 +272,10 @@ def child_main():
     # Reference oracle being chased: 200/200 resolves converge
     # (bicycle_test.cpp:302-337) at an 80-iteration f64 budget.
     rescue = (not rti) and os.environ.get("ALTRO_BENCH_RESCUE", "1") == "1"
-    rescue_iters = int(os.environ.get("ALTRO_BENCH_RESCUE_ITERS", "8"))
+    # R=10 default (round-5 kernel-era Pareto, docs/PERF.md): 99.62% @
+    # 3.03M — same success as the pre-kernel R=8 default at 1.57x its
+    # throughput, with more gate margin than kernel-era R=8 (99.56%).
+    rescue_iters = int(os.environ.get("ALTRO_BENCH_RESCUE_ITERS", "10"))
     # Penalty boost on rescue entry: failed lanes are mostly pinned at
     # f32-stationary points of the CURRENT merit landscape (the round-4
     # fallback probe proved no merit-decreasing trial exists there); the

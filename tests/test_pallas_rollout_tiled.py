@@ -151,10 +151,12 @@ def test_eligibility_gates():
     assert not rollout_tiled_eligible(soc, prob_axes)
 
 
-def test_solve_tiled_kernel_vs_scan(monkeypatch):
+@pytest.mark.parametrize("rti", [False, True])
+def test_solve_tiled_kernel_vs_scan(monkeypatch, rti):
     """solve_tiled with the rollout kernel (interpret) must track the
     scan-grid solve_tiled per lane — same contract as the tiled-vs-vmap
-    parity (f32 tie flips allowed on a tiny lane fraction)."""
+    parity (f32 tie flips allowed on a tiny lane fraction). Covers both
+    the line-search grid and the RTI (W=1 full-step) kernel branch."""
     monkeypatch.setattr(tile_solver, "_FORCE_INTERPRET", True)
     problem = _problem(constrained=True)
     rng = np.random.default_rng(1)
@@ -162,7 +164,8 @@ def test_solve_tiled_kernel_vs_scan(monkeypatch):
         np.asarray(problem.x0)[None] + 0.05 * rng.standard_normal((B, n)), DT)
     states = batch_init_state(problem, B)
     opts = SolverOptions(
-        iterations_max=3, use_backtracking_linesearch=True,
+        iterations_max=1 if rti else 3, rti_mode=rti,
+        use_backtracking_linesearch=True,
         parallel_linesearch=True, ls_phase_split=True, ls_grid_x_only=True,
         ls_armijo_only=True, ls_max_iters=8, throw_errors=False,
         tol_stationarity=1e-3, tol_primal_feasibility=1e-3,
