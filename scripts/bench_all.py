@@ -734,11 +734,33 @@ def main():
 
         Br = int(os.environ.get("ALTRO_BENCH_ROCKET_BATCH", "1024"))
         r_problem, r_hover = _rocket_build(dtype=dtype)
+        # Round-5 continuation sweep (scripts/proto_rocket_tiled.py, TPU,
+        # 120-iteration budget, B=1024):
+        #   sequential backtracking, slack 0 (old shipped row): 124.7/s @ 75.7%
+        #   grid LS, slack 0, vmap(solve):                     2608.7/s @ 76.6%
+        #   grid LS, slack 0, solve_tiled:                     3833.3/s @ 71.7%
+        #   sequential backtracking, slack 1e-6:               4399.7/s @ 100%
+        #   grid LS, slack 1e-6, vmap(solve):                 14733.5/s @ 100%
+        #   grid LS, slack 1e-6, solve_tiled:                 19768.2/s @ 100%
+        # Two compounding fixes: (1) the grid LS removes the sequential
+        # search's lockstep-straggler cost under batching; (2) the
+        # Armijo slack removes the f32 accept-test rounding tie that WAS
+        # the 24-30% failure tail (and its wasted grind iterations) —
+        # full diagnosis in docs/PERF.md round 5 (cont.).
+        # ls_armijo_slack=1e-6: near stationarity this workload's Armijo
+        # margin (c1*alpha*|dphi0| ~ 4e-10 relative to phi0) is below f32
+        # rounding resolution — the accept test degenerates to a
+        # summation-order coin flip, which is where BOTH the old 75.7%
+        # and the tiled 71.7% ceilings came from. The explicit relative
+        # slack resolves the tie deterministically: 100% success both
+        # paths at a 40-iteration budget (docs/PERF.md round 5 cont.).
         r_opts = SolverOptions(
             iterations_max=120, penalty_initial=10.0, penalty_scaling=10.0,
             tol_stationarity=1e-3, tol_primal_feasibility=1e-3,
-            tol_stationarity_rel=1e-5,
-            use_backtracking_linesearch=True, throw_errors=False)
+            tol_stationarity_rel=1e-5, ls_armijo_slack=1e-6,
+            use_backtracking_linesearch=True, parallel_linesearch=True,
+            ls_phase_split=True, ls_grid_x_only=True, ls_armijo_only=True,
+            throw_errors=False)
         kr, kv = jax.random.split(jax.random.PRNGKey(0))
         rx0 = r_problem.x0[None, :] + jnp.concatenate(
             [2.0 * jax.random.normal(kr, (Br, 3), dtype),
@@ -768,11 +790,47 @@ def main():
             "success_rate": round(float(jnp.mean(r_stats.status == 0)), 4),
             "mean_iterations": round(float(jnp.mean(r_stats.iterations)), 1),
             "mean_touchdown_m": round(touchdown, 5),
-            "note": "vmap(solve) path — SOC groups are outside the "
-                    "tile-resident fast-path envelope (docs/PERF.md)",
+            "note": "grid-LS vmap(solve) + Armijo slack 1e-6; 118x the "
+                    "round-5 sequential-LS row at 100% vs 75.7% success "
+                    "(see sweep comment)",
         }
         results.append(row)
         print(json.dumps(row), flush=True)
+
+        if os.environ.get("ALTRO_BENCH_ROCKET_TILED", "1") == "1" and (
+                platform == "tpu" and Br % 1024 == 0):
+            from altro_tpu import tile_solver as _rtsv
+
+            r_axes = dataclasses.replace(
+                jax.tree.map(lambda _: False, r_problem), x0=True)
+            r_prob_t = _rtsv.tile_problem(
+                dataclasses.replace(r_problem, x0=rx0), r_axes)
+            r_st_t = _rtsv.state_to_tiles(r_states)
+            rt_run = jax.jit(
+                lambda s: _rtsv.solve_tiled(r_prob_t, r_axes, s, r_opts))
+            jax.block_until_ready(rt_run(r_st_t))
+            t0 = _tr.perf_counter()
+            rt_st, rt_stats = jax.block_until_ready(rt_run(r_st_t))
+            rt_elapsed = _tr.perf_counter() - t0
+            rt_stats_b = _rtsv.stats_from_tiles(rt_stats)
+            rt_x = _rtsv.tiles_to_batch(rt_st.x)
+            row = {
+                "config": f"rocket_soc_tiled_B{Br}",
+                "platform": platform,
+                "solves_per_s": round(Br / rt_elapsed, 1),
+                "success_rate": round(
+                    float(jnp.mean(rt_stats_b.status == 0)), 4),
+                "mean_iterations": round(
+                    float(jnp.mean(rt_stats_b.iterations)), 1),
+                "mean_touchdown_m": round(float(jnp.mean(jnp.linalg.norm(
+                    rt_x[:, r_problem.N, :3], axis=1))), 5),
+                "note": "tile-resident solve on the SOC workload (dense "
+                        "AL Hessians + conic projections through "
+                        "tile_vmap; rollout kernel ineligible for SOC, "
+                        "scan grid in-loop)",
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
 
     # 9. Second closed-loop gated workload (round-5 VERDICT item 9):
     # batched pendulum swing-up MPC with the SAME f32/armijo-only/
@@ -797,7 +855,9 @@ def main():
             fn=lambda x, u, k: jnp.concatenate([u - 6.0, -6.0 - u]),
             cone=Cone.NEGATIVE_ORTHANT, dim=2,
             active=jnp.ones(Np + 1, bool).at[Np].set(False),
-            label="torque bound", diag_hessian=True)
+            label="torque bound", diag_hessian=True, affine=True)
+        from altro_tpu.models.tile_steps import midpoint_cols, pendulum_cols
+
         p_problem = Problem(
             N=Np, n=np_, m=mp_, dynamics=midpoint(pendulum_continuous()),
             dynamics_jac=None, constraints=(torque_p,),
@@ -805,7 +865,9 @@ def main():
                 jnp.asarray(Qp, dtype), jnp.full((Np + 1, mp_), 1e-3, dtype),
                 jnp.asarray(np.tile(xf_p, (Np + 1, 1)), dtype),
                 jnp.zeros((Np + 1, mp_), dtype)),
-            h=jnp.full(Np, hp, dtype), x0=jnp.zeros(np_, dtype))
+            h=jnp.full(Np, hp, dtype), x0=jnp.zeros(np_, dtype),
+            # batched tiled rollout kernel on the tile-resident path
+            dynamics_cols=midpoint_cols(pendulum_cols()))
         p_opts = dataclasses.replace(
             f32opts, iterations_max=10, use_backtracking_linesearch=True,
             penalty_warm_start=True, parallel_linesearch=True,
@@ -820,26 +882,68 @@ def main():
         p_states = dataclasses.replace(
             p_states, u=jnp.full((Bp, Np, mp_), 0.1, dtype))
         p_dyn = p_problem.dynamics
+        pend_tiled = (
+            platform == "tpu"
+            and os.environ.get("ALTRO_BENCH_PENDULUM_TILED", "1") == "1"
+            and Bp % 1024 == 0)
 
-        def p_resolve(x0, st):
-            prob = dataclasses.replace(p_problem, x0=x0)
-            return solve(prob, st, p_opts)
+        if pend_tiled:
+            # Tile-resident runner + batched rollout kernel (round-5
+            # cont.): same structure as the headline/quadrotor loops;
+            # the vmap path below stays available via
+            # ALTRO_BENCH_PENDULUM_TILED=0.
+            from altro_tpu import tile_solver as _ptsv
+            from altro_tpu.ops.tile_iter import tile_vmap as _p_tile_vmap
 
-        def p_tick(carry, t):
-            x_true, states = carry
-            states, stats = jax.vmap(p_resolve)(x_true, states)
-            u0 = states.u[:, 0]
-            x_true = jax.vmap(
-                lambda x, u: p_dyn(x, u, jnp.asarray(hp, dtype), 0))(
-                    x_true, u0)
-            states = jax.vmap(_shift_p)(states)
-            return (x_true, states), (stats.status, stats.iterations)
+            p_axes = dataclasses.replace(
+                p_problem,
+                cost=dataclasses.replace(p_problem.cost, Q=False, R=False,
+                                         q=False, r=False, c=False),
+                h=False, x0=True, A=False, B=False, f_aff=False,
+                constraints=(dataclasses.replace(torque_p, active=False),))
+            p_dyn_tiled = _p_tile_vmap(
+                lambda xk, uk: p_dyn(xk, uk, jnp.asarray(hp, dtype), 0),
+                (True, True))
 
-        @jax.jit
-        def p_run(x_true, states):
-            (x_true, states), outs = jax.lax.scan(
-                p_tick, (x_true, states), jnp.arange(PNSIM))
-            return (x_true, states) + outs
+            def p_tick_t(carry, t):
+                x_true_t, st_t = carry
+                prob_t = dataclasses.replace(p_problem, x0=x_true_t)
+                st_t, stats = _ptsv.solve_tiled(prob_t, p_axes, st_t, p_opts)
+                u0 = st_t.u[:, 0]
+                x_true_t = p_dyn_tiled(x_true_t, u0)
+                st_t = _ptsv.shift_trajectory_tiled(st_t)
+                return (x_true_t, st_t), (stats.status, stats.iterations)
+
+            @jax.jit
+            def p_run(x_true, states):
+                x_true_t = _ptsv.batch_to_tiles(x_true)
+                st_t = _ptsv.state_to_tiles(states)
+                (x_true_t, st_t), outs = jax.lax.scan(
+                    p_tick_t, (x_true_t, st_t), jnp.arange(PNSIM))
+                return (_ptsv.tiles_to_batch(x_true_t), st_t) + tuple(
+                    _ptsv.tiles_to_batch(
+                        jnp.swapaxes(o, 0, 1)).swapaxes(0, 1)
+                    for o in outs)
+        else:
+            def p_resolve(x0, st):
+                prob = dataclasses.replace(p_problem, x0=x0)
+                return solve(prob, st, p_opts)
+
+            def p_tick(carry, t):
+                x_true, states = carry
+                states, stats = jax.vmap(p_resolve)(x_true, states)
+                u0 = states.u[:, 0]
+                x_true = jax.vmap(
+                    lambda x, u: p_dyn(x, u, jnp.asarray(hp, dtype), 0))(
+                        x_true, u0)
+                states = jax.vmap(_shift_p)(states)
+                return (x_true, states), (stats.status, stats.iterations)
+
+            @jax.jit
+            def p_run(x_true, states):
+                (x_true, states), outs = jax.lax.scan(
+                    p_tick, (x_true, states), jnp.arange(PNSIM))
+                return (x_true, states) + outs
 
         jax.block_until_ready(p_run(px0, p_states))
         t0 = _tp.perf_counter()

@@ -62,11 +62,18 @@ def main():
     states = batch_init_state(problem, B)
     states = dataclasses.replace(states, u=jnp.tile(hover, (B, problem.N, 1)))
 
+    # ls_armijo_slack: near stationarity this workload's Armijo margin
+    # (c1*alpha*dphi0 ~ 4e-10 relative) sits below f32 rounding
+    # resolution, so the accept test degenerates to a summation-order
+    # coin flip (docs/PERF.md round 5 cont.). An explicit 1e-6 relative
+    # slack resolves the tie deterministically: 76%/70% -> 100%/100%
+    # success at a 40-iteration budget, mean iterations 14.2 -> 12.1.
+    slack = float(os.environ.get("ALTRO_ROCKET_SLACK", "1e-6"))
     common = dict(
         iterations_max=ITERS, penalty_initial=10.0, penalty_scaling=10.0,
         tol_stationarity=1e-3, tol_primal_feasibility=1e-3,
         tol_stationarity_rel=1e-5, use_backtracking_linesearch=True,
-        throw_errors=False)
+        ls_armijo_slack=slack, throw_errors=False)
     opts_seq = SolverOptions(**common)
     opts_grid = SolverOptions(
         **common, parallel_linesearch=True, ls_phase_split=True,
