@@ -385,6 +385,16 @@ def main():
         # Batch-fused Pallas backward: 2x the vmapped scan at these
         # n=12 blocks (ops/fused_backward.py).
         pallas_backward=True,
+        # A/B knob for the batched rollout kernel on this row
+        pallas_rollout_tiled=os.environ.get(
+            "ALTRO_BENCH_QUAD_ROLLOUT_KERNEL", "1") == "1",
+        # Explicit Armijo accept tolerance (the rocket-row lesson,
+        # docs/PERF.md round 5 cont.): near the f32 stationarity floor
+        # the accept margin is below rounding resolution, so kernel-vs-
+        # scan transcendental ULP differences flip ties; the slack makes
+        # acceptance implementation-independent.
+        ls_armijo_slack=float(os.environ.get(
+            "ALTRO_BENCH_QUAD_SLACK", "1e-6")),
     )
     # Closed-loop waypoint MPC, fused into one jitted lax.scan over ticks
     # (same methodology as the headline bicycle workload — per-dispatch
