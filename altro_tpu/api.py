@@ -224,21 +224,39 @@ class ALTROSolver:
             self._dynamics_jac[k] = jacobian
         return self
 
-    def set_tile_dynamics(self, step_tile: Callable):
-        """Opt-in tile-form dynamics step for the packed trial-rollout
-        Pallas kernel (Problem.dynamics_tile; models/tile_steps.py
-        protocol): step(x[S, n], u[S, m], h[S, 1]) -> x_next[S, n],
-        row-wise equal to the explicit dynamics for every knot. With a
-        diagonal cost and (if any) affine NEGATIVE_ORTHANT constraint
-        groups — which the bound setters declare automatically —
-        single-lane TPU f32 solves run the line-search trial grid
-        inside one Pallas program. No reference analog (the fast path
-        itself is TPU-native)."""
-        self._dynamics_tile = step_tile
+    def set_tile_dynamics(self, step_tile: Callable = None, *,
+                          step_cols: Callable = None):
+        """Opt-in tile-form dynamics steps for the trial-rollout Pallas
+        kernels (models/tile_steps.py protocols). Either/both of:
+
+        step_tile (Problem.dynamics_tile): step(x[S, n], u[S, m],
+        h[S, 1]) -> x_next[S, n], row-wise equal to the explicit
+        dynamics — the PACKED single-lane kernel's form (trials ride
+        sublanes; ops/pallas_rollout.py).
+
+        step_cols (Problem.dynamics_cols): step(x_cols, u_cols, h) on
+        tuples of per-component arrays — the BATCHED tiled kernel's
+        form (ops/pallas_rollout_tiled.py), used by the tile-resident
+        batched solve. Build both from one column-form physics fn:
+        step_cols = midpoint_cols(f_cols) and
+        step_tile = midpoint_tile(block_from_cols(f_cols)).
+
+        With a diagonal cost and (if any) affine NEGATIVE_ORTHANT
+        constraint groups — which the bound setters declare
+        automatically — TPU f32 solves run the whole line-search trial
+        grid inside one Pallas program (single-lane via step_tile,
+        batched tile-resident via step_cols). No reference analog (the
+        fast path itself is TPU-native)."""
+        if step_tile is not None:
+            self._dynamics_tile = step_tile
+        if step_cols is not None:
+            self._dynamics_cols = step_cols
         if self._problem is not None:
             # already initialized: swap in place, keep the carried state
             self._problem = dataclasses.replace(
-                self._problem, dynamics_tile=step_tile)
+                self._problem,
+                dynamics_tile=getattr(self, "_dynamics_tile", None),
+                dynamics_cols=getattr(self, "_dynamics_cols", None))
             self._solve_fn = None
         return self
 
@@ -610,6 +628,7 @@ class ALTROSolver:
             constraints=tuple(self._constraints), cost=self._build_cost(),
             h=jnp.asarray(self._h, self.dtype), x0=jnp.asarray(self._x0, self.dtype),
             dynamics_tile=getattr(self, "_dynamics_tile", None),
+            dynamics_cols=getattr(self, "_dynamics_cols", None),
         )
         self._state = init_state(self._problem)
         return self

@@ -218,10 +218,13 @@ def child_main():
         # closed-loop error is unchanged, see docs/PERF.md).
         ls_max_iters=int(os.environ.get("ALTRO_BENCH_LS_ITERS", "8" if par_ls else "25")),
         # Armijo slack knob (SolverOptions.ls_armijo_slack). Measured on
-        # this workload: 1e-6 moves success only 98.55% -> 98.58% — the
-        # residual failures are genuine non-descent at stiff conic knots
-        # (benign RTI-like fallbacks), not roundoff — so exact Armijo
-        # stays the default.
+        # this workload: 1e-6 moves success only 98.55% -> 98.58%
+        # (no-rescue) / 99.62% -> 99.65% @ 2.91M (rescue R=10, kernel
+        # era) — the residual failures are genuine non-descent at stiff
+        # conic knots (benign RTI-like fallbacks), not roundoff — so
+        # exact Armijo stays the default here. (Contrast: on the rocket
+        # SOC and quadrotor rows the same knob removed a 24-30%
+        # rounding-tie failure tail — docs/PERF.md round 5 cont.)
         ls_armijo_slack=float(os.environ.get("ALTRO_BENCH_ARMIJO_SLACK", "0.0")),
         # Line-search failure recovery (SolverOptions.ls_failure_recovery):
         # failed lanes escalate reg and keep iterating instead of

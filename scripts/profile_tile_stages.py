@@ -299,10 +299,47 @@ def main():
                  + jnp.sum(lx_n[:, 0]) + jnp.sum(A_n[:, 0]) + jnp.sum(B_n[:, 0]))
         return xsel, probe
 
+    def full_body_step(xc):
+        """full_kernel + the solver body's bookkeeping tail
+        (stationarity, feasibility, dual/penalty update, convergence
+        masks) — the complete per-trip cost of solve_tiled's body."""
+        from altro_tpu import tile_solver as tsv
+
+        lx, lu, lxx, luu, lux, phi0 = ti.cost_expansions_tiled(
+            ta, xc, u_t0, z_t, rho_t, diag=diag)
+        g = riccati_backward_pallas_tiled(
+            A0, B0, lxx, luu, lx, lu, reg_t, lux=lux, diag_cost=diag,
+            interpret=interp)
+        dphi0 = g.delta_V[:, 0]
+        phis, xstacks = rollout_grid_pallas_tiled(
+            ta, xc, u_t0, g.K, g.d, z_t, rho_t, alphas, x0_t,
+            interpret=interp)
+        passes = phis <= phi0[None] + c1 * alphas[:, None, None, None] * dphi0[None]
+        found, idx, a_acc, phi_acc, xsel = ti.select_trial_tiled(
+            passes, alphas, phis, xstacks)
+        u_n, y_n, convals, zproj = ti.light_from_xstack_tiled(
+            ta, xsel, xc, u_t0, g.K, g.d, g.P, g.p, z_t, rho_t, a_acc)
+        A_n, B_n, lx_n, lu_n = ti.completion_tiled(ta, xsel, u_n, z_t, rho_t)
+        stat = tsv._stationarity_tiled(ta, A_n, B_n, lx_n, lu_n, y_n)
+        feas = tsv._feasibility_tiled(ta, convals)
+        do_dual = stat < jnp.sqrt(jnp.asarray(1e-3, dtype))
+        z_new = tuple(
+            jnp.where(do_dual[:, None, None, :, :], zp, zj)
+            for zp, zj in zip(zproj, z_t))
+        do_pen = jnp.logical_and(do_dual, feas > 1e-3)
+        rho_new = jnp.where(do_pen, rho_t * 10.0, rho_t)
+        converged = jnp.logical_and(jnp.abs(stat) < 1e-3, feas < 1e-3)
+        probe = (jnp.sum(a_acc) + jnp.sum(phi_acc) + jnp.sum(stat)
+                 + jnp.sum(feas) + jnp.sum(rho_new)
+                 + jnp.sum(z_new[0][:, 0]) + jnp.sum(converged)
+                 + jnp.sum(A_n[:, 0]) + jnp.sum(B_n[:, 0]))
+        return xsel, probe
+
     variants = {
         "noop": chain(noop_step),
         "full": chain(full_step),
         "full_kernel": chain(full_kernel_step),
+        "full_body_kernel": chain(full_body_step),
         "roll_w8_kernel": chain(roll_kernel_step),
         "full_no_exp": chain(full_no_exp_step),
         "full_no_roll": chain(full_no_roll_step),
