@@ -9,8 +9,10 @@ state bit-for-bit (per-lane merge); rescued lanes carry the rescued
 state forward, which also kills closed-loop failure cascades.
 
 Measured on the headline Scotty workload (B=2048, 200 ticks, TPU v5e;
-docs/PERF.md round 5): 98.56% -> 99.62% per-resolve success at
-1.93M resolves/s (rescue budget 8, unlimited recovery). Failures
+docs/PERF.md round 5 + cont.): 98.55% -> 99.62% per-resolve success at
+3.03M resolves/s (rescue budget 10, unlimited recovery, batched
+rollout kernel era; the tail saturates at ~99.65% by budget 12).
+Failures
 cluster per tick (168/200 ticks have none), which is what makes the
 cond gating effective; per-lane compaction does NOT apply (the hard
 ticks fail on most or all lanes at once — see the PERF analysis).
@@ -36,7 +38,7 @@ __all__ = ["rescue_options", "solve_tiled_with_rescue", "vmap_solve_with_rescue"
 
 
 def rescue_options(opts: SolverOptions,
-                   iterations_max: int = 8,
+                   iterations_max: int = 10,
                    recovery_max_fails: int = 0) -> SolverOptions:
     """The measured-best second-tier options derived from the primary
     ones: bigger budget, unlimited line-search failure recovery,
